@@ -1,0 +1,126 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.io.TableIO
+
+/** Per-iteration materialization — SURVEY.md §4.4.
+  *
+  * Iterative DataFrame loops MUST cut lineage every round: the logical plan
+  * otherwise grows super-linearly and analysis cost explodes. Both backends
+  * also keep the ITERATION PARTITIONING CONTRACT: the returned frame
+  * preserves the physical hash-partitioning of the input plan
+  * (localCheckpoint / cache carry `outputPartitioning` through), so a loop
+  * that materializes state hash-partitioned by `vid` and its edge invariant
+  * by `src` pays exactly ONE exchange per iteration — the message groupBy.
+  * Previous iterations' blocks are freed as the loop advances.
+  */
+sealed trait Materializer {
+  /** Materialize iteration `iter`'s state; returns the truncated frame. */
+  def iter(iter: Int, df: DataFrame, meta: Map[String, Any]): DataFrame
+  /** Materialize a loop-invariant dataset (normalized edges, vertex meta).
+    * Caller chooses the partitioning (repartition by the join key first). */
+  def shared(name: String, df: DataFrame): DataFrame
+  /** Resume point: highest committed iteration and its state, if any. */
+  def resume(): Option[(Int, DataFrame)]
+  /** Record metrics computed AFTER iter's commit (cheap agg over the
+    * committed data) — the IterMetrics ledger [BASELINE.json:6]. */
+  def note(iter: Int, meta: Map[String, Any]): Unit
+  def log: Seq[Map[String, Any]]
+  /** Release loop-invariant resources at end of run (keeps final state). */
+  def close(): Unit = ()
+}
+
+/** Ephemeral: eager flat localCheckpoint (partitioning-preserving, no
+  * origin-stats chaining — see FlatCheckpoint), previous iteration's RDD
+  * blocks unpersisted as the loop advances. Not resumable. */
+final class LocalMaterializer extends Materializer {
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Any]]
+  private var prevIterRddIds: Set[Int] = Set.empty
+
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(df)
+    val created = sc.getPersistentRDDs.keySet.diff(before)
+    (out, created.toSet)
+  }
+
+  override def iter(iter: Int, df: DataFrame, meta: Map[String, Any]): DataFrame = {
+    buf += (meta + ("iter" -> iter))
+    val sc = df.sparkSession.sparkContext
+    val (out, created) = checkpointTracked(df)
+    prevIterRddIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    prevIterRddIds = created
+    out
+  }
+  override def shared(name: String, df: DataFrame): DataFrame =
+    checkpointTracked(df)._1
+  override def resume(): Option[(Int, DataFrame)] = None
+  override def note(iter: Int, meta: Map[String, Any]): Unit =
+    buf += (meta + ("iter" -> iter))
+  override def log: Seq[Map[String, Any]] = buf.toSeq
+}
+
+/** Durable + resumable: every iteration is an atomic TableIO commit whose
+  * manifest carries per-partition lineage; convergence metrics follow as an
+  * atomic note. The frame handed back to the loop is the CACHED pre-write
+  * plan (partitioning preserved, no re-read), so durability costs one
+  * parquet write per iteration, not an extra exchange. On resume the state
+  * is re-read from the committed files (one re-shuffle, first iteration
+  * only). */
+final class CheckpointMaterializer(io: TableIO, val stateTable: String) extends Materializer {
+  private var prevIterRddIds: Set[Int] = Set.empty
+
+  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(df)
+    val created = sc.getPersistentRDDs.keySet.diff(before)
+    (out, created.toSet)
+  }
+
+  override def iter(iter: Int, df: DataFrame, meta: Map[String, Any]): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    // One compute: flat checkpoint; the durable parquet write + manifest
+    // then stream from the checkpointed blocks, not a recompute.
+    val (flat, created) = checkpointTracked(df)
+    io.commit(stateTable, iter, flat, meta)
+    prevIterRddIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    prevIterRddIds = created
+    flat
+  }
+  override def shared(name: String, df: DataFrame): DataFrame = {
+    val flat = checkpointTracked(df)._1
+    if (io.latest(s"$stateTable-$name").isEmpty)
+      io.commit(s"$stateTable-$name", 0, flat, Map.empty)
+    flat
+  }
+  override def resume(): Option[(Int, DataFrame)] =
+    io.latest(stateTable).map(i => (i, io.read(stateTable, i)))
+  override def note(iter: Int, meta: Map[String, Any]): Unit =
+    io.note(stateTable, iter, meta)
+  override def log: Seq[Map[String, Any]] = io.commitLog(stateTable)
+}
+
+/** Iterative-loop session tuning: AQE re-plans per materialization and
+  * re-coalesces shuffle partitions, which breaks the fixed-P partitioning
+  * contract and adds per-job planning latency — worth it for one big query,
+  * wrong for a 100-round loop. Sort-merge join would re-sort both sides
+  * every round; shuffled-hash join keys on the already-aligned hash
+  * partitioning. Restores previous conf on exit. */
+object IterativeConf {
+  def apply[T](spark: SparkSession)(body: => T): T = {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.join.preferSortMergeJoin").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+}

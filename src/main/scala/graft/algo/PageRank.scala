@@ -1,0 +1,132 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+import graft.graph.LinkGraph
+
+/** PageRank — SURVEY.md §2.10. Classic normalized power iteration:
+  *
+  *   p0(v)    = 1/N
+  *   p_t+1(v) = (1-d)/N + d * ( Σ_{u→v} p_t(u)·w(u,v)/W(u)  +  D_t/N )
+  *
+  * where W(u) is u's out-strength and D_t = Σ_{W(u)=0} p_t(u) is the
+  * dangling mass (redistributed uniformly). Synchronous updates; stop at
+  * ‖p_{t+1}−p_t‖∞ < tol, or run exactly `fixedIters` (oracle mode).
+  *
+  * Execution shape per iteration (SURVEY.md §3.2/§4.3): transition edges
+  * are materialized ONCE hash-partitioned by `src`; state stays
+  * hash-partitioned by `vid` across iterations (the materializer preserves
+  * physical partitioning), so the state⋈edges join and both vertex-side
+  * joins need NO exchange — the only shuffle per round is the sum-by-dst
+  * message aggregation (A1), the theoretical minimum for a join-based
+  * round. Convergence metrics + next dangling mass ride one cheap agg over
+  * the committed frame. `Σp = 1` is preserved (up to fp) every iteration.
+  */
+final case class PageRankConfig(
+    damping: Double = 0.85,
+    tol: Double = 1e-6,
+    maxIters: Int = 100,
+    fixedIters: Option[Int] = None,
+    weighted: Boolean = true)
+
+final case class PageRankResult(
+    ranks: DataFrame, // (vid: long, rank: double)
+    iterations: Int,
+    converged: Boolean,
+    metricsLog: Seq[Map[String, Any]])
+
+object PageRank {
+
+  def run(graph: LinkGraph, cfg: PageRankConfig = PageRankConfig(),
+          mat: Materializer = new LocalMaterializer): PageRankResult =
+    IterativeConf(graph.spark) {
+      val d = cfg.damping
+      val n = graph.numVertices.toDouble
+
+      // Loop-invariant transition edges p(u→v) = w/W(u), partitioned by src.
+      val ew =
+        if (cfg.weighted)
+          graph.edges.groupBy("src", "dst").agg(F.sum("weight").as("w"))
+        else
+          graph.directed.withColumn("w", F.lit(1.0))
+      val wdeg = ew.groupBy("src").agg(F.sum("w").as("wdeg"))
+      val em = mat.shared("em",
+        ew.join(wdeg, "src")
+          .select(F.col("src"), F.col("dst"), (F.col("w") / F.col("wdeg")).as("p"))
+          .repartition(F.col("src")))
+
+      // Vertex metadata (has_out marks non-dangling), partitioned by vid.
+      val vmeta = mat.shared("vmeta",
+        graph.vertices
+          .join(em.select(F.col("src").as("vid")).distinct()
+                  .withColumn("has_out", F.lit(true)),
+                Seq("vid"), "left")
+          .select(F.col("vid"), F.coalesce(F.col("has_out"), F.lit(false)).as("has_out"))
+          .repartition(F.col("vid")))
+
+      val maxIters = cfg.fixedIters.getOrElse(cfg.maxIters)
+
+      def danglingOf(df: DataFrame): Double =
+        df.agg(F.coalesce(F.sum(F.when(!F.col("has_out"), F.col("rank")).otherwise(0.0)), F.lit(0.0)))
+          .first().getDouble(0)
+
+      // Resume (BASELINE.json:6 "resumable mid-iteration") or cold start.
+      val (startIter, st0, dang0) = mat.resume() match {
+        case Some((k, df)) =>
+          (k, df.select("vid", "rank"), danglingOf(df))
+        case None =>
+          val init = vmeta.select(F.col("vid"), F.lit(1.0 / n).as("rank"),
+            F.lit(0.0).as("prev"), F.col("has_out"))
+          val committed = mat.iter(0, init, Map("init" -> true))
+          (0, committed.select("vid", "rank"), danglingOf(committed))
+      }
+      var state = st0
+      var dangling = dang0
+
+      var iter = startIter
+      var converged = false
+      while (iter < maxIters && !converged) {
+        iter += 1
+        val t0 = System.nanoTime()
+        val msgs = em
+          .join(state.withColumnRenamed("vid", "src"), "src") // no exchange
+          .groupBy("dst")                                     // THE shuffle
+          .agg(F.sum(F.col("p") * F.col("rank")).as("msum"))
+          .withColumnRenamed("dst", "vid")
+        // The per-iteration dangling mass enters via a one-row broadcast,
+        // NOT a literal: inlining a changing constant would make every
+        // iteration's generated code unique and force a Janino recompile
+        // per round. With a stable plan source, codegen compiles once for
+        // the whole loop.
+        val consts = graph.spark.createDataFrame(Seq(Tuple1(dangling))).toDF("dang_mass")
+        val next = vmeta
+          .join(msgs, Seq("vid"), "left")                     // no exchange
+          .join(state.withColumnRenamed("rank", "prev"), "vid") // no exchange
+          .crossJoin(F.broadcast(consts))
+          .select(
+            F.col("vid"),
+            (F.lit((1.0 - d) / n) +
+              F.lit(d) * (F.coalesce(F.col("msum"), F.lit(0.0)) + F.col("dang_mass") / F.lit(n))).as("rank"),
+            F.col("prev"),
+            F.col("has_out"))
+        val committed = mat.iter(iter, next, Map.empty)
+        // One cheap agg over committed blocks: convergence + next dangling.
+        val row = committed.agg(
+          F.max(F.abs(F.col("rank") - F.col("prev"))).as("linf"),
+          F.sum(F.abs(F.col("rank") - F.col("prev"))).as("l1"),
+          F.sum(F.when(!F.col("has_out"), F.col("rank")).otherwise(0.0)).as("dang"),
+          F.sum("rank").as("total")).first()
+        val linf = row.getDouble(0)
+        dangling = row.getDouble(2)
+        mat.note(iter, Map(
+          "linf" -> linf, "l1" -> row.getDouble(1),
+          "dangling_mass" -> dangling, "rank_total" -> row.getDouble(3),
+          "wall_ms" -> (System.nanoTime() - t0) / 1000000L))
+        state = committed.select("vid", "rank")
+        converged = cfg.fixedIters.isEmpty && linf < cfg.tol
+      }
+      val out = PageRankResult(state, iter, converged, mat.log)
+      mat.close()
+      out
+    }
+}
