@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+import graft.algo._
+import graft.graph.{GraphBuilder, LinkGraph}
+
+/** Graph-algorithm queries over the events-derived link graph — every entry
+  * has a DuckDB oracle in [[OracleSql]] (the driver's correctness gate).
+  * The events table mirrors the transcript shape (FIXTURES.md §6): per-user
+  * time-ordered event_type adjacency ≙ turn-adjacency; user→event_type ≙
+  * tool invocation.
+  */
+object GraphQueries {
+
+  val PrIters = 10
+  val PrDamping = 0.85
+  val LpaRounds = 5
+  val TopK = 10
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  def graph(spark: SparkSession, dir: String): LinkGraph =
+    GraphBuilder.fromEvents(events(spark, dir))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_edges" -> ((s, d) =>
+      graph(s, d).edges.orderBy("src", "dst", "kind")),
+
+    "g_dict" -> ((s, d) =>
+      graph(s, d).dict.orderBy("vid")),
+
+    "g_degree" -> ((s, d) => {
+      val g = graph(s, d)
+      val o = g.edges.groupBy(F.col("src").as("vid")).agg(
+        F.count(F.lit(1)).as("out_deg"), F.round(F.sum("weight"), 6).as("out_wdeg"))
+      val i = g.edges.groupBy(F.col("dst").as("vid")).agg(
+        F.count(F.lit(1)).as("in_deg"), F.round(F.sum("weight"), 6).as("in_wdeg"))
+      g.vertices
+        .join(o, Seq("vid"), "left").join(i, Seq("vid"), "left")
+        .select(F.col("vid"),
+          F.coalesce(F.col("out_deg"), F.lit(0L)).as("out_deg"),
+          F.coalesce(F.col("out_wdeg"), F.lit(0.0)).as("out_wdeg"),
+          F.coalesce(F.col("in_deg"), F.lit(0L)).as("in_deg"),
+          F.coalesce(F.col("in_wdeg"), F.lit(0.0)).as("in_wdeg"))
+        .orderBy("vid")
+    }),
+
+    "g_pagerank" -> ((s, d) => {
+      val r = PageRank.run(graph(s, d),
+        PageRankConfig(damping = PrDamping, fixedIters = Some(PrIters)))
+      r.ranks.select(F.col("vid"), F.round(F.col("rank"), 7).as("rank")).orderBy("vid")
+    }),
+
+    "g_top_pagerank" -> ((s, d) => {
+      val g = graph(s, d)
+      val r = PageRank.run(g,
+        PageRankConfig(damping = PrDamping, fixedIters = Some(PrIters)))
+      r.ranks
+        .join(g.dict, "vid")
+        .select(F.col("key"), F.col("vid"), F.round(F.col("rank"), 7).as("rank"))
+        .orderBy(F.col("rank").desc, F.col("vid"))
+        .limit(TopK)
+    }),
+
+    "g_cc" -> ((s, d) =>
+      ConnectedComponents.run(graph(s, d)).labels.orderBy("vid")),
+
+    "g_lpa" -> ((s, d) =>
+      LabelPropagation.run(graph(s, d), maxRounds = LpaRounds).labels.orderBy("vid")),
+
+    "g_triangles" -> ((s, d) => {
+      import s.implicits._
+      Seq(Triangles.run(graph(s, d)).total).toDF("n_triangles")
+    }),
+
+    "g_tri_pervertex" -> ((s, d) =>
+      Triangles.run(graph(s, d)).perVertex.orderBy("vid"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "g_edges" -> OracleSql.gEdges,
+    "g_dict" -> OracleSql.gDict,
+    "g_degree" -> OracleSql.gDegree,
+    "g_pagerank" -> OracleSql.gPageRank(PrIters, PrDamping),
+    "g_top_pagerank" -> OracleSql.gTopPageRank(PrIters, PrDamping, TopK),
+    "g_cc" -> OracleSql.gCc,
+    "g_lpa" -> OracleSql.gLpa(LpaRounds),
+    "g_triangles" -> OracleSql.gTriangles,
+    "g_tri_pervertex" -> OracleSql.gTriPerVertex
+  )
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+/** DuckDB oracle SQL for SparkEntry.queries — the driver's correctness gate
+  * runs these over the same parquet tables and hash-compares results.
+  *
+  * Contract discipline:
+  *  - column NAMES and TYPES match the Spark output exactly (counts cast to
+  *    BIGINT: DuckDB sum(int) would widen to HUGEINT; Spark count is long)
+  *  - every float aggregate is round()ed identically on both sides so
+  *    summation-order fp noise can't flip the driver's value hash
+  *  - every query ORDER BYs a deterministic key
+  *  - the event-graph CTE chain mirrors GraphBuilder.fromEvents and
+  *    DenseId line by line (same entity keys, same dense-rank ids)
+  */
+object OracleSql {
+
+  /** Shared derivation: events → string edges → dense-id weighted edges.
+    * Must stay in lock-step with GraphBuilder.fromEvents. */
+  val eventEdges: String =
+    """keyed AS (
+      |  SELECT user_id, event_id, 'etype:' || event_type AS key, event_type FROM events
+      |),
+      |adj AS (
+      |  SELECT key AS src_key,
+      |         lead(key) OVER (PARTITION BY user_id ORDER BY event_id) AS dst_key
+      |  FROM keyed
+      |),
+      |raw AS MATERIALIZED (
+      |  SELECT src_key, dst_key, 1 AS kind FROM adj
+      |  WHERE dst_key IS NOT NULL AND src_key <> dst_key
+      |  UNION ALL
+      |  SELECT 'user:' || CAST(user_id AS VARCHAR), 'etype:' || event_type, 2 FROM events
+      |),
+      |dict AS MATERIALIZED (
+      |  SELECT key, CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS vid
+      |  FROM (SELECT DISTINCT src_key AS key FROM raw
+      |        UNION
+      |        SELECT DISTINCT dst_key FROM raw)
+      |),
+      |edges AS MATERIALIZED (
+      |  SELECT s.vid AS src, d.vid AS dst, r.kind, CAST(count(*) AS DOUBLE) AS weight
+      |  FROM raw r JOIN dict s ON r.src_key = s.key JOIN dict d ON r.dst_key = d.key
+      |  GROUP BY 1, 2, 3
+      |)""".stripMargin
+
+  val gEdges: String =
+    s"""WITH $eventEdges
+       |SELECT src, dst, kind, weight FROM edges ORDER BY src, dst, kind""".stripMargin
+
+  val gDict: String =
+    s"""WITH $eventEdges
+       |SELECT key, vid FROM dict ORDER BY vid""".stripMargin
+
+  val gDegree: String =
+    s"""WITH $eventEdges,
+       |o AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS out_deg,
+       |             round(sum(weight), 6) AS out_wdeg
+       |      FROM edges GROUP BY src),
+       |i AS (SELECT dst AS vid, CAST(count(*) AS BIGINT) AS in_deg,
+       |             round(sum(weight), 6) AS in_wdeg
+       |      FROM edges GROUP BY dst)
+       |SELECT d.vid,
+       |       coalesce(o.out_deg, 0) AS out_deg,
+       |       coalesce(o.out_wdeg, 0.0) AS out_wdeg,
+       |       coalesce(i.in_deg, 0) AS in_deg,
+       |       coalesce(i.in_wdeg, 0.0) AS in_wdeg
+       |FROM dict d LEFT JOIN o ON o.vid = d.vid LEFT JOIN i ON i.vid = d.vid
+       |ORDER BY d.vid""".stripMargin
+
+  /** CTE chain for unrolled weighted PageRank with dangling redistribution,
+    * `iters` synchronous rounds — matches graft.algo.PageRank step for step. */
+  private def pageRankCtes(iters: Int, damping: Double): String = {
+    def iterCte(k: Int): String =
+      s"""r$k AS MATERIALIZED (
+         |  SELECT v.vid,
+         |         (1.0 - $damping) / nv.n + $damping * (coalesce(c.s, 0.0) + dg.m / nv.n) AS rank
+         |  FROM dict v
+         |  LEFT JOIN (
+         |    SELECT e.dst AS vid, sum(p.rank * e.weight / od.wdeg) AS s
+         |    FROM edges e
+         |    JOIN r${k - 1} p ON p.vid = e.src
+         |    JOIN odeg od ON od.vid = e.src
+         |    GROUP BY e.dst) c ON c.vid = v.vid
+         |  CROSS JOIN (SELECT coalesce(sum(p.rank), 0.0) AS m
+         |              FROM r${k - 1} p LEFT JOIN odeg od ON od.vid = p.vid
+         |              WHERE od.vid IS NULL) dg
+         |  CROSS JOIN nv
+         |)""".stripMargin
+    s"""$eventEdges,
+       |odeg AS MATERIALIZED (SELECT src AS vid, sum(weight) AS wdeg FROM edges GROUP BY src),
+       |nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM dict),
+       |r0 AS MATERIALIZED (SELECT vid, 1.0 / nv.n AS rank FROM dict CROSS JOIN nv),
+       |${(1 to iters).map(iterCte).mkString(",\n")}""".stripMargin
+  }
+
+  def gPageRank(iters: Int, damping: Double): String =
+    s"""WITH ${pageRankCtes(iters, damping)}
+       |SELECT vid, round(rank, 7) AS rank FROM r$iters ORDER BY vid""".stripMargin
+
+  def gTopPageRank(iters: Int, damping: Double, k: Int): String =
+    s"""WITH ${pageRankCtes(iters, damping)}
+       |SELECT d.key, t.vid, round(t.rank, 7) AS rank
+       |FROM r$iters t JOIN dict d ON d.vid = t.vid
+       |ORDER BY round(t.rank, 7) DESC, t.vid LIMIT $k""".stripMargin
+
+  /** Exact CC labels via recursive min-reachability (label = min vid in the
+    * symmetric transitive closure) — the HashMin fixpoint by definition. */
+  val gCc: String =
+    s"""WITH RECURSIVE $eventEdges,
+       |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |reach AS (
+       |  SELECT vid, vid AS r FROM dict
+       |  UNION
+       |  SELECT reach.vid, sym.dst AS r FROM reach JOIN sym ON sym.src = reach.r
+       |)
+       |SELECT vid, min(r) AS label FROM reach GROUP BY vid ORDER BY vid""".stripMargin
+
+  /** Unrolled synchronous LPA, smallest-label tie-break, `rounds` rounds. */
+  def gLpa(rounds: Int): String = {
+    def roundCte(k: Int): String =
+      s"""l$k AS MATERIALIZED (
+         |  SELECT v.vid, coalesce(b.new_label, v.label) AS label
+         |  FROM l${k - 1} v
+         |  LEFT JOIN (
+         |    SELECT vid, label AS new_label FROM (
+         |      SELECT dst AS vid, label,
+         |             row_number() OVER (PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+         |      FROM (
+         |        SELECT e.dst, p.label, count(*) AS c
+         |        FROM sym e JOIN l${k - 1} p ON p.vid = e.src
+         |        GROUP BY e.dst, p.label))
+         |    WHERE rn = 1) b ON b.vid = v.vid
+         |)""".stripMargin
+    s"""WITH $eventEdges,
+       |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+       |  WHERE src <> dst),
+       |l0 AS MATERIALIZED (SELECT vid, vid AS label FROM dict),
+       |${(1 to rounds).map(roundCte).mkString(",\n")}
+       |SELECT vid, label FROM l$rounds ORDER BY vid""".stripMargin
+  }
+
+  private val triangleCtes: String =
+    s"""$eventEdges,
+       |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |        FROM edges WHERE src <> dst),
+       |dg AS MATERIALIZED (SELECT w AS vid, count(*) AS d
+       |       FROM (SELECT u AS w FROM und UNION ALL SELECT v FROM und)
+       |       GROUP BY w),
+       |a AS MATERIALIZED (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s,
+       |             CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t
+       |      FROM und JOIN dg du ON du.vid = u JOIN dg dv ON dv.vid = v),
+       |ad AS MATERIALIZED (SELECT a.s, a.t, dg.d AS dt FROM a JOIN dg ON dg.vid = a.t),
+       |tri AS MATERIALIZED (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+       |        FROM ad e1
+       |        JOIN ad e2 ON e1.s = e2.s
+       |              AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))
+       |        JOIN a e3 ON e3.s = e1.t AND e3.t = e2.t)""".stripMargin
+
+  val gTriangles: String =
+    s"""WITH $triangleCtes
+       |SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri""".stripMargin
+
+  val gTriPerVertex: String =
+    s"""WITH $triangleCtes,
+       |cnt AS (SELECT w AS vid, CAST(count(*) AS BIGINT) AS triangles
+       |        FROM (SELECT a AS w FROM tri UNION ALL SELECT b FROM tri
+       |              UNION ALL SELECT c FROM tri)
+       |        GROUP BY w)
+       |SELECT d.vid, coalesce(cnt.triangles, 0) AS triangles
+       |FROM dict d LEFT JOIN cnt ON cnt.vid = d.vid
+       |ORDER BY d.vid""".stripMargin
+}
