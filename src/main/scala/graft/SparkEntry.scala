@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.GraphQueries
+import graft.queries.{GraphQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every `queries` entry with an `oracleSql` entry is hash-compared by the
@@ -16,10 +16,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    GraphQueries.queries
+    GraphQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    GraphQueries.oracles
+    GraphQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,399 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), text analysis
+  * (lang-id, quality, tokens, fingerprints), similarity search (brute-force
+  * cosine top-k), multimodal binary plumbing. Every query here has a DuckDB
+  * oracle; the cross-engine deterministic hash is md5 (identical hex in
+  * Spark and DuckDB), so even the hash-based sketches are oracle-checked.
+  */
+object PipelineQueries {
+
+  val NumMinhash = 16
+  val BandSize = 4 // 4 bands x 4 rows
+  val JaccardThreshold = 0.5
+  val SimhashBits = 16
+  val HammingMax = 3
+  val AnnQueries = 20
+  val AnnK = 5
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+  private def embs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  /** Distinct word-3-gram shingles per doc: (doc_id, sh). */
+  private def shingles(df: DataFrame): DataFrame =
+    df.select(F.col("doc_id"), F.split(F.col("text"), " ").as("words"))
+      .where(F.size(F.col("words")) >= 3)
+      .select(F.col("doc_id"), F.explode(F.expr(
+        "transform(sequence(0, size(words) - 3), i -> concat_ws(' ', slice(words, i + 1, 3)))"))
+        .as("sh"))
+      .distinct()
+
+  private val shinglesSql: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |idx AS (SELECT doc_id, words, unnest(range(len(words) - 2)) AS i
+      |        FROM w WHERE len(words) >= 3),
+      |sh AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(words[i+1:i+3], ' ') AS sh
+      |      FROM idx)""".stripMargin
+
+  // ---------------------------------------------------------------- dedup
+
+  def dExactDedup(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d).select(F.col("doc_id"), F.md5(F.col("text")).as("text_md5"))
+    val canon = dd.groupBy("text_md5").agg(F.min("doc_id").as("canonical_id"))
+    dd.join(canon, "text_md5")
+      .select(F.col("doc_id"), F.col("text_md5"), F.col("canonical_id"),
+        (F.col("doc_id") =!= F.col("canonical_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val dExactDedupSql: String =
+    """WITH dd AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
+      |canon AS (SELECT text_md5, min(doc_id) AS canonical_id FROM dd GROUP BY text_md5)
+      |SELECT doc_id, dd.text_md5, canonical_id, doc_id <> canonical_id AS is_dup
+      |FROM dd JOIN canon USING (text_md5) ORDER BY doc_id""".stripMargin
+
+  def dNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(docs(s, d)).localCheckpoint(true)
+    val sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("sz"))
+    val a = sh.select(F.col("doc_id").as("da"), F.col("sh"))
+    val b = sh.select(F.col("doc_id").as("db"), F.col("sh"))
+    a.join(b, Seq("sh")).where(F.col("da") < F.col("db"))
+      .groupBy("da", "db").agg(F.count(F.lit(1)).as("inter"))
+      .join(sz.select(F.col("doc_id").as("da"), F.col("sz").as("sza")), "da")
+      .join(sz.select(F.col("doc_id").as("db"), F.col("sz").as("szb")), "db")
+      .select(F.col("da"), F.col("db"),
+        F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6).as("jaccard"))
+      .where(F.col("jaccard") >= JaccardThreshold)
+      .orderBy("da", "db")
+  }
+
+  val dNgramJaccardSql: String =
+    s"""WITH $shinglesSql,
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT da, db,
+       |       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= $JaccardThreshold
+       |ORDER BY da, db""".stripMargin
+
+  /** MinHash signatures (md5-based) + banded LSH candidate pairs. */
+  def dMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(docs(s, d))
+    val hashAggs = (0 until NumMinhash).map(j =>
+      F.min(F.md5(F.concat(F.lit(s"$j|"), F.col("sh")))).as(s"h$j"))
+    val minhashes = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    val nBands = NumMinhash / BandSize
+    val bandCols = (0 until nBands).map { b =>
+      F.md5(F.concat_ws("|",
+        (0 until BandSize).map(r => F.col(s"h${b * BandSize + r}")): _*)).as(s"b$b")
+    }
+    val banded = minhashes.select(F.col("doc_id") +: bandCols: _*)
+    val long = banded.select(F.col("doc_id"), F.explode(F.array(
+      (0 until nBands).map(b => F.struct(F.lit(b).as("band_idx"), F.col(s"b$b").as("bv"))): _*))
+      .as("e"))
+      .select(F.col("doc_id"), F.col("e.band_idx"), F.col("e.bv"))
+    val l = long.select(F.col("doc_id").as("da"), F.col("band_idx"), F.col("bv"))
+    val r = long.select(F.col("doc_id").as("db"), F.col("band_idx"), F.col("bv"))
+    l.join(r, Seq("band_idx", "bv")).where(F.col("da") < F.col("db"))
+      .groupBy("da", "db").agg(F.countDistinct("band_idx").cast("long").as("n_bands"))
+      .orderBy("da", "db")
+  }
+
+  val dMinhashLshSql: String = {
+    val hashAggs = (0 until NumMinhash)
+      .map(j => s"min(md5('$j|' || sh)) AS h$j").mkString(",\n    ")
+    val nBands = NumMinhash / BandSize
+    val bandExprs = (0 until nBands).map { b =>
+      val cols = (0 until BandSize).map(r => s"h${b * BandSize + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cols) AS bv FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shinglesSql,
+       |mh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $hashAggs
+       |  FROM sh GROUP BY doc_id),
+       |long AS MATERIALIZED (
+       |  $bandExprs)
+       |SELECT l.doc_id AS da, r.doc_id AS db,
+       |       CAST(count(DISTINCT l.band_idx) AS BIGINT) AS n_bands
+       |FROM long l JOIN long r ON l.band_idx = r.band_idx AND l.bv = r.bv
+       |     AND l.doc_id < r.doc_id
+       |GROUP BY 1, 2 ORDER BY da, db""".stripMargin
+  }
+
+  /** 16-bit SimHash over distinct words (md5 bit sampling). */
+  def dSimhash(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d)
+      .select(F.col("doc_id"), F.explode(F.split(F.col("text"), " ")).as("word"))
+      .where(F.col("word") =!= "").distinct()
+    val bitSumCols = (0 until SimhashBits).map { b =>
+      val dig = b / 4 + 1
+      val mask = 8 >> (b % 4)
+      F.sum(F.when(
+        (F.instr(F.lit("0123456789abcdef"),
+          F.substring(F.md5(F.col("word")), dig, 1)) - 1)
+          .cast("int").bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1)).as(s"s$b")
+    }
+    val sums = words.groupBy("doc_id").agg(bitSumCols.head, bitSumCols.tail: _*)
+    val sim = (0 until SimhashBits).map { b =>
+      F.when(F.col(s"s$b") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    }.reduce(_ + _)
+    sums.select(F.col("doc_id"), sim.cast("int").as("simhash16")).orderBy("doc_id")
+  }
+
+  val dSimhashSql: String = {
+    val bitSums = (0 until SimhashBits).map { b =>
+      val dig = b / 4 + 1
+      val mask = 8 >> (b % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(word), $dig, 1)) - 1) & $mask) > 0 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n    ")
+    val assemble = (0 until SimhashBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+    s"""WITH words0 AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |w2 AS (SELECT DISTINCT doc_id, word FROM words0 WHERE word <> ''),
+       |sums AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM w2 GROUP BY doc_id)
+       |SELECT doc_id, CAST($assemble AS INTEGER) AS simhash16
+       |FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  def dSimhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = dSimhash(s, d).localCheckpoint(true)
+    val a = sh.select(F.col("doc_id").as("da"), F.col("simhash16").as("ha"))
+    val b = sh.select(F.col("doc_id").as("db"), F.col("simhash16").as("hb"))
+    a.crossJoin(b).where(F.col("da") < F.col("db"))
+      .select(F.col("da"), F.col("db"),
+        F.bit_count(F.expr("ha ^ hb")).cast("int").as("hamming"))
+      .where(F.col("hamming") <= HammingMax)
+      .orderBy("da", "db")
+  }
+
+  val dSimhashPairsSql: String = {
+    val inner = dSimhashSql.replace("ORDER BY doc_id", "")
+    s"""WITH sh AS MATERIALIZED ($inner)
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       |       CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INTEGER) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= $HammingMax
+       |ORDER BY da, db""".stripMargin
+  }
+
+  // -------------------------------------------------------- text analysis
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2")) // pinyin-ish stand-ins
+
+  /** #occurrences of ` w ` in ` text ` via length arithmetic — literal
+    * replace() in both engines so semantics match exactly. */
+  private def hits(w: String): Column =
+    F.expr(s"cast((length(concat(' ', text, ' ')) - " +
+      s"length(replace(concat(' ', text, ' '), ' $w ', ''))) / ${w.length + 2} as int)")
+
+  def dLangid(s: SparkSession, d: String): DataFrame = {
+    val scoreCols = stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      ws.map(hits).reduce(_ + _).as(s"score_$lang")
+    }
+    val scored = docs(s, d).select(F.col("doc_id") +: scoreCols: _*)
+    val langs = stopwords.keys.toSeq.sorted
+    // argmax with deterministic first-wins tie-break in sorted lang order
+    val pred = langs.foldRight(F.lit("und"): Column) { (l, acc) =>
+      F.when(langs.map(o => F.col(s"score_$l") >= F.col(s"score_$o")).reduce(_ && _) &&
+             F.col(s"score_$l") > 0, F.lit(l)).otherwise(acc)
+    }
+    scored.select(F.col("doc_id") +: langs.map(l => F.col(s"score_$l")) :+ pred.as("pred_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  val dLangidSql: String = {
+    def hitsSql(w: String): String =
+      s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2} AS INTEGER)"
+    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      ws.map(hitsSql).mkString(" + ") + s" AS score_$lang"
+    }.mkString(",\n    ")
+    val langs = stopwords.keys.toSeq.sorted
+    val pred = langs.foldRight("'und'") { (l, acc) =>
+      val ge = langs.map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"CASE WHEN $ge AND score_$l > 0 THEN '$l' ELSE $acc END"
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM documents)
+       |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+       |       $pred AS pred_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  def dQuality(s: SparkSession, d: String): DataFrame = {
+    val enHits = stopwords("en").map(hits).reduce(_ + _)
+    docs(s, d).select(
+        F.col("doc_id"),
+        F.length(F.col("text")).cast("long").as("n_chars_obs"),
+        (F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1)
+          .cast("long").as("n_tokens"),
+        enHits.cast("long").as("stop_hits"))
+      .select(F.col("doc_id"), F.col("n_chars_obs"), F.col("n_tokens"), F.col("stop_hits"),
+        F.round(
+          F.least(F.lit(1.0), F.col("n_tokens") / 60.0) *
+          (F.lit(0.5) + F.least(F.lit(0.5), F.col("stop_hits") * 5.0 / F.col("n_tokens"))), 6)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val dQualitySql: String = {
+    val enHits = stopwords("en").map(w =>
+      s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2} AS INTEGER)")
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars_obs,
+       |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+       |    CAST($enHits AS BIGINT) AS stop_hits
+       |  FROM documents)
+       |SELECT doc_id, n_chars_obs, n_tokens, stop_hits,
+       |  round(least(1.0, n_tokens / 60.0) *
+       |        (0.5 + least(0.5, stop_hits * 5.0 / n_tokens)), 6) AS quality
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  def dTokens(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+        F.col("doc_id"),
+        (F.length(F.col("text")) - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1)
+          .cast("long").as("n_ws_tokens"),
+        F.expr("aggregate(transform(split(text, ' '), w -> cast(ceil(length(w) / 4.0) as bigint)), 0L, (acc, x) -> acc + x)")
+          .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  val dTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_ws_tokens,
+      |  CAST(list_sum(list_transform(string_split(text, ' '),
+      |       w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def dFingerprint(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(docs(s, d))
+    val minSh = sh.groupBy("doc_id").agg(F.min(F.md5(F.col("sh"))).as("fp_min_shingle"))
+    docs(s, d)
+      .select(F.col("doc_id"), F.md5(F.lower(F.col("text"))).as("fp_norm"))
+      .join(minSh, Seq("doc_id"), "left")
+      .orderBy("doc_id")
+  }
+
+  val dFingerprintSql: String =
+    s"""WITH $shinglesSql,
+       |m AS (SELECT doc_id, min(md5(sh)) AS fp_min_shingle FROM sh GROUP BY doc_id)
+       |SELECT d.doc_id, md5(lower(d.text)) AS fp_norm, m.fp_min_shingle
+       |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------ similarity
+
+  def eCosineTopk(s: SparkSession, d: String): DataFrame = {
+    val v = embs(s, d).select(F.col("vec_id"),
+      F.expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val n = v.select(F.col("vec_id"), F.col("v"),
+      F.sqrt(F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")).as("nrm"))
+      .localCheckpoint(true)
+    val q = n.where(F.col("vec_id") < AnnQueries)
+      .select(F.col("vec_id").as("qid"), F.col("v").as("qv"), F.col("nrm").as("qn"))
+    val pairs = n.crossJoin(F.broadcast(q)).where(F.col("vec_id") =!= F.col("qid"))
+      .select(F.col("qid"), F.col("vec_id"),
+        F.round(
+          F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+            (F.col("qn") * F.col("nrm")), 6).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(F.col("cosine").desc, F.col("vec_id"))
+    pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= AnnK)
+      .select(F.col("qid"), F.col("vec_id"), F.col("cosine"), F.col("rk").cast("int").as("rk"))
+      .orderBy("qid", "rk")
+  }
+
+  val eCosineTopkSql: String =
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+       |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $AnnQueries),
+       |pairs AS (
+       |  SELECT q.qid, n.vec_id,
+       |         round(list_sum(list_transform(range(len(q.qv)),
+       |               i -> q.qv[i+1] * n.v[i+1])) / (q.qn * n.nrm), 6) AS cosine
+       |  FROM n CROSS JOIN q WHERE n.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+       |  FROM pairs)
+       |SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= $AnnK
+       |ORDER BY qid, rk""".stripMargin
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Binary-column plumbing: utf8 bytes as the opaque payload, md5 content
+    * id, deterministic fake decode metadata (real decode is stubbed —
+    * image/audio libs absent in this environment; see graft.pipeline.Multimodal). */
+  def mBinaryMeta(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+        F.col("doc_id"),
+        F.length(F.encode(F.col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).as("content_md5"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+          (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int")).as("modality"),
+        (F.pmod(F.col("n_chars"), F.lit(64)) + 1).cast("int").as("fake_width"),
+        (F.pmod(F.col("n_chars"), F.lit(48)) + 1).cast("int").as("fake_height"))
+      .orderBy("doc_id")
+
+  val mBinaryMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+      |  CAST(n_chars % 64 + 1 AS INTEGER) AS fake_width,
+      |  CAST(n_chars % 48 + 1 AS INTEGER) AS fake_height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_dedup_exact" -> (dExactDedup _),
+    "d_ngram_jaccard" -> (dNgramJaccard _),
+    "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_simhash" -> (dSimhash _),
+    "d_simhash_pairs" -> (dSimhashPairs _),
+    "d_langid" -> (dLangid _),
+    "d_quality" -> (dQuality _),
+    "d_tokens" -> (dTokens _),
+    "d_fingerprint" -> (dFingerprint _),
+    "e_cosine_topk" -> (eCosineTopk _),
+    "m_binary_meta" -> (mBinaryMeta _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "d_dedup_exact" -> dExactDedupSql,
+    "d_ngram_jaccard" -> dNgramJaccardSql,
+    "d_minhash_lsh" -> dMinhashLshSql,
+    "d_simhash" -> dSimhashSql,
+    "d_simhash_pairs" -> dSimhashPairsSql,
+    "d_langid" -> dLangidSql,
+    "d_quality" -> dQualitySql,
+    "d_tokens" -> dTokensSql,
+    "d_fingerprint" -> dFingerprintSql,
+    "e_cosine_topk" -> eCosineTopkSql,
+    "m_binary_meta" -> mBinaryMetaSql
+  )
+}
