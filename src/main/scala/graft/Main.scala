@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+
+import graft.algo._
+import graft.gen.TranscriptGen
+import graft.graph.{GraphBuilder, LinkGraph}
+import graft.io.ParquetManifestIO
+
+/** spark-submit entry point — SURVEY.md §3.3.
+  *
+  * {{{
+  * spark-submit --class graft.Main --master <cluster|local[N]> engine.jar \
+  *   pagerank --input <transcripts.parquet> --out <dir> --ckpt <dir> [--resume] \
+  *            [--tol 1e-6] [--damping 0.85] [--max-iters 100]
+  * }}}
+  *
+  * Sources (one of): --input <transcripts parquet>, --events <events parquet>,
+  * or --conv N [--seed 42] (deterministic synthetic transcripts).
+  * Commands: pagerank | cc | lpa | triangles.
+  * Without --resume, a fresh run clears the checkpoint root first;
+  * with --resume, the loop continues from the last committed iteration.
+  */
+object Main {
+
+  def parseArgs(args: Array[String]): (String, Map[String, String]) = {
+    require(args.nonEmpty, usage)
+    val cmd = args(0)
+    val opts = scala.collection.mutable.Map.empty[String, String]
+    var i = 1
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"expected --option, got $a\n$usage")
+      val key = a.drop(2)
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        opts(key) = args(i + 1); i += 2
+      } else { opts(key) = "true"; i += 1 }
+    }
+    (cmd, opts.toMap)
+  }
+
+  val usage: String =
+    """usage: graft.Main <pagerank|cc|lpa|triangles> [--input P|--events P|--conv N]
+      |  [--seed 42] [--out DIR] [--ckpt DIR] [--resume] [--tol 1e-6]
+      |  [--damping 0.85] [--max-iters 100] [--rounds 10] [--local N]""".stripMargin
+
+  def loadGraph(spark: SparkSession, opts: Map[String, String]): LinkGraph =
+    if (opts.contains("input"))
+      GraphBuilder.fromTranscripts(spark.read.parquet(opts("input")))
+    else if (opts.contains("events"))
+      GraphBuilder.fromEvents(spark.read.parquet(opts("events")))
+    else if (opts.contains("conv"))
+      GraphBuilder.fromTranscripts(
+        TranscriptGen.transcripts(spark, opts("conv").toLong,
+          opts.getOrElse("seed", "42").toLong).toDF())
+    else sys.error(s"need --input, --events or --conv\n$usage")
+
+  def materializer(spark: SparkSession, opts: Map[String, String], table: String): Materializer =
+    opts.get("ckpt") match {
+      case Some(dir) =>
+        if (!opts.contains("resume")) {
+          // fresh run: wipe prior commits so iter numbering restarts
+          val p = java.nio.file.Paths.get(dir)
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala.foreach(java.nio.file.Files.delete)
+          }
+        }
+        new CheckpointMaterializer(new ParquetManifestIO(spark, dir), table)
+      case None => new LocalMaterializer
+    }
+
+  def main(args: Array[String]): Unit = {
+    val (cmd, opts) = parseArgs(args)
+    val spark = sys.props.get("spark.master") match {
+      case Some(_) => // under spark-submit: respect the submitted master
+        SparkSession.builder().appName(s"graft-$cmd")
+          .config("spark.sql.shuffle.partitions",
+            opts.getOrElse("shuffle-partitions", "32"))
+          .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+      case None =>
+        GraftSession.build(s"local[${opts.getOrElse("local", "8")}]", s"graft-$cmd",
+          opts.getOrElse("shuffle-partitions", "32").toInt)
+    }
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    val graph = loadGraph(spark, opts)
+
+    def write(df: DataFrame, what: String): Unit = opts.get("out") match {
+      case Some(dir) => df.write.mode("overwrite").parquet(s"$dir/$what")
+      case None      => df.show(20, truncate = false)
+    }
+
+    cmd match {
+      case "pagerank" =>
+        val r = PageRank.run(graph,
+          PageRankConfig(
+            damping = opts.getOrElse("damping", "0.85").toDouble,
+            tol = opts.getOrElse("tol", "1e-6").toDouble,
+            maxIters = opts.getOrElse("max-iters", "100").toInt),
+          materializer(spark, opts, "pagerank"))
+        write(r.ranks.orderBy(F.col("rank").desc, F.col("vid")), "ranks")
+        println(s"""{"cmd":"pagerank","iterations":${r.iterations},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "cc" =>
+        val r = ConnectedComponents.run(graph,
+          opts.getOrElse("max-rounds", "200").toInt, materializer(spark, opts, "cc"))
+        write(r.labels.orderBy("vid"), "labels")
+        println(s"""{"cmd":"cc","rounds":${r.rounds},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "lpa" =>
+        val r = LabelPropagation.run(graph,
+          opts.getOrElse("rounds", "10").toInt, materializer(spark, opts, "lpa"))
+        write(r.labels.orderBy("vid"), "labels")
+        println(s"""{"cmd":"lpa","rounds":${r.rounds},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "triangles" =>
+        val r = Triangles.run(graph)
+        write(r.perVertex.orderBy("vid"), "triangles")
+        println(s"""{"cmd":"triangles","total":${r.total},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case other => sys.error(s"unknown command $other\n$usage")
+    }
+    spark.stop()
+  }
+}

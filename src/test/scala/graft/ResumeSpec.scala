@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.algo._
+import graft.gen.TranscriptGen
+import graft.graph.GraphBuilder
+import graft.io.ParquetManifestIO
+
+/** SURVEY.md §5.1 L3: durable checkpoints + mid-iteration resume.
+  * A torn write (data files present, no manifest) is exactly the artifact a
+  * mid-iteration kill leaves behind; resume must ignore it and converge to
+  * the same result as an uninterrupted run.
+  */
+class ResumeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-ckpt-").toString
+
+  lazy val graph = {
+    val turns = TranscriptGen.transcripts(spark, nConvs = 40, seed = 11).toDF()
+    GraphBuilder.fromTranscripts(turns)
+  }
+
+  private def ranksOf(mat: Materializer, maxIters: Int = 100): Array[Double] =
+    PageRank.run(graph, PageRankConfig(tol = 1e-8, maxIters = maxIters), mat)
+      .ranks.orderBy("vid").as[(Long, Double)].collect().map(_._2)
+
+  test("interrupted run + --resume converges to the uninterrupted result") {
+    val full = ranksOf(new CheckpointMaterializer(
+      new ParquetManifestIO(spark, tmp()), "pagerank"))
+
+    val dir = tmp()
+    // "interrupt" after 3 iterations
+    ranksOf(new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "pagerank"),
+      maxIters = 3)
+    // resume from the same checkpoint root
+    val resumed = ranksOf(new CheckpointMaterializer(
+      new ParquetManifestIO(spark, dir), "pagerank"))
+
+    full.zip(resumed).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9, s"$a vs $b")
+    }
+  }
+
+  test("torn (un-manifested) iteration data is ignored on resume") {
+    val dir = tmp()
+    val io = new ParquetManifestIO(spark, dir)
+    ranksOf(new CheckpointMaterializer(io, "pagerank"), maxIters = 2)
+    assert(io.latest("pagerank").contains(2))
+
+    // simulate a kill mid-write of iteration 3: data dir, no manifest
+    val torn = java.nio.file.Paths.get(dir, "pagerank", "iter=3")
+    Files.createDirectories(torn)
+    Files.writeString(torn.resolve("part-00000-garbage.parquet"), "not parquet")
+    assert(io.latest("pagerank").contains(2), "torn iter must not be visible")
+
+    val resumed = ranksOf(new CheckpointMaterializer(io, "pagerank"))
+    val clean = ranksOf(new CheckpointMaterializer(
+      new ParquetManifestIO(spark, tmp()), "pagerank"))
+    resumed.zip(clean).foreach { case (a, b) => assert(math.abs(a - b) <= 1e-9) }
+  }
+
+  test("manifest ledger carries per-partition lineage + convergence metrics") {
+    val dir = tmp()
+    val io = new ParquetManifestIO(spark, dir)
+    PageRank.run(graph, PageRankConfig(tol = 1e-8, maxIters = 5),
+      new CheckpointMaterializer(io, "pagerank"))
+    val log = io.commitLog("pagerank")
+    assert(log.size == 6) // init + 5 iterations
+    // every commit records its file-level lineage
+    log.foreach { m =>
+      val files = m("files").asInstanceOf[java.util.List[_]]
+      assert(!files.isEmpty)
+    }
+    // iterations carry convergence metrics via notes; linf decreases
+    val linfs = log.drop(1).map(_("linf").toString.toDouble)
+    assert(linfs.size == 5)
+    assert(linfs.last < linfs.head)
+    assert(log.drop(1).forall(m => m.contains("dangling_mass") && m.contains("wall_ms")))
+  }
+
+  test("CC resume: exact same labels as uninterrupted") {
+    val dir = tmp()
+    ConnectedComponents.run(graph, maxRounds = 2,
+      new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "cc"))
+    val resumed = ConnectedComponents.run(graph, maxRounds = 200,
+      new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "cc"))
+      .labels.orderBy("vid").as[(Long, Long)].collect().toSeq
+    val clean = ConnectedComponents.run(graph)
+      .labels.orderBy("vid").as[(Long, Long)].collect().toSeq
+    assert(resumed == clean)
+  }
+}
