@@ -3,31 +3,43 @@ package graft.algo
 import org.apache.spark.sql.{DataFrame, functions => F}
 
 import graft.graph.LinkGraph
+import graft.scale.{Csr, Salting}
 
 /** PageRank — SURVEY.md §2.10. Classic normalized power iteration:
   *
   *   p0(v)    = 1/N
-  *   p_t+1(v) = (1-d)/N + d * ( Σ_{u→v} p_t(u)·w(u,v)/W(u)  +  D_t/N )
+  *   p_t+1(v) = (1-d)/N + d * ( Σ_{u→v} p_t(u)·w(u,v)/W(u) + D_t/N )
   *
   * where W(u) is u's out-strength and D_t = Σ_{W(u)=0} p_t(u) is the
   * dangling mass (redistributed uniformly). Synchronous updates; stop at
   * ‖p_{t+1}−p_t‖∞ < tol, or run exactly `fixedIters` (oracle mode).
   *
   * Execution shape per iteration (SURVEY.md §3.2/§4.3): transition edges
-  * are materialized ONCE hash-partitioned by `src`; state stays
+  * are materialized ONCE hash-partitioned by the join key; state stays
   * hash-partitioned by `vid` across iterations (the materializer preserves
   * physical partitioning), so the state⋈edges join and both vertex-side
   * joins need NO exchange — the only shuffle per round is the sum-by-dst
-  * message aggregation (A1), the theoretical minimum for a join-based
-  * round. Convergence metrics + next dangling mass ride one cheap agg over
-  * the committed frame. `Σp = 1` is preserved (up to fp) every iteration.
+  * message aggregation (A1). Three edge layouts, identical results:
+  *
+  *  - plain rows (default): edge-level shuffled-hash join
+  *  - `packedAdjacency`: vertex-major CSR arrays (Csr.packAdjacency) — the
+  *    join touches one row per vertex; expansion is explode(zip_with(...))
+  *  - `salts > 1`: explicit hot-key salting (Salting) — hub srcs' edges
+  *    spread over S buckets, only hot state rows replicated
   */
 final case class PageRankConfig(
     damping: Double = 0.85,
     tol: Double = 1e-6,
     maxIters: Int = 100,
     fixedIters: Option[Int] = None,
-    weighted: Boolean = true)
+    weighted: Boolean = true,
+    packedAdjacency: Boolean = false,
+    salts: Int = 1,
+    hotQuantile: Double = 0.999,
+    hotMinDegree: Double = 64.0) {
+  require(salts == 1 || !packedAdjacency,
+    "salting applies to the row-level edge layout; packed adjacency already collapses hubs to one row")
+}
 
 final case class PageRankResult(
     ranks: DataFrame, // (vid: long, rank: double)
@@ -43,26 +55,42 @@ object PageRank {
       val d = cfg.damping
       val n = graph.numVertices.toDouble
 
-      // Loop-invariant transition edges p(u→v) = w/W(u), partitioned by src.
+      // Loop-invariant transition edges p(u→v) = w/W(u).
       val ew =
         if (cfg.weighted)
           graph.edges.groupBy("src", "dst").agg(F.sum("weight").as("w"))
         else
           graph.directed.withColumn("w", F.lit(1.0))
       val wdeg = ew.groupBy("src").agg(F.sum("w").as("wdeg"))
-      val em = mat.shared("em",
-        ew.join(wdeg, "src")
-          .select(F.col("src"), F.col("dst"), (F.col("w") / F.col("wdeg")).as("p"))
-          .repartition(F.col("src")))
+      val emRows = ew.join(wdeg, "src")
+        .select(F.col("src"), F.col("dst"), (F.col("w") / F.col("wdeg")).as("p"))
 
       // Vertex metadata (has_out marks non-dangling), partitioned by vid.
       val vmeta = mat.shared("vmeta",
         graph.vertices
-          .join(em.select(F.col("src").as("vid")).distinct()
-                  .withColumn("has_out", F.lit(true)),
+          .join(wdeg.select(F.col("src").as("vid")).withColumn("has_out", F.lit(true)),
                 Seq("vid"), "left")
           .select(F.col("vid"), F.coalesce(F.col("has_out"), F.lit(false)).as("has_out"))
           .repartition(F.col("vid")))
+
+      // Hot-key set for salting (tiny by construction; broadcast).
+      val hot =
+        if (cfg.salts > 1)
+          mat.shared("hot", Salting.hotKeys(
+            wdeg.select(F.col("src").as("vid"), F.col("wdeg")),
+            cfg.hotQuantile, cfg.hotMinDegree))
+        else null
+
+      // Edge layout materialization, partitioned on the join key.
+      val em =
+        if (cfg.packedAdjacency)
+          mat.shared("em_packed", Csr.packAdjacency(emRows).repartition(F.col("src")))
+        else if (cfg.salts > 1)
+          mat.shared("em_salted",
+            Salting.saltEdges(emRows, hot, cfg.salts)
+              .repartition(F.col("src"), F.col("salt")))
+        else
+          mat.shared("em", emRows.repartition(F.col("src")))
 
       val maxIters = cfg.fixedIters.getOrElse(cfg.maxIters)
 
@@ -83,16 +111,32 @@ object PageRank {
       var state = st0
       var dangling = dang0
 
+      def messages(state: DataFrame): DataFrame = {
+        val st = state.withColumnRenamed("vid", "src")
+        val contribs =
+          if (cfg.packedAdjacency)
+            em.join(st, "src")                                // no exchange
+              .select(F.explode(F.expr(
+                "zip_with(dsts, ps, (d, pp) -> struct(d AS dst, pp * rank AS c))")).as("m"))
+              .select(F.col("m.dst").as("dst"), F.col("m.c").as("c"))
+          else if (cfg.salts > 1)
+            em.join(Salting.saltState(st, hot, cfg.salts, "src"),
+                Seq("src", "salt"))                           // state exchange only
+              .select(F.col("dst"), (F.col("p") * F.col("rank")).as("c"))
+          else
+            em.join(st, "src")                                // no exchange
+              .select(F.col("dst"), (F.col("p") * F.col("rank")).as("c"))
+        contribs.groupBy("dst")                               // THE shuffle
+          .agg(F.sum(F.col("c")).as("msum"))
+          .withColumnRenamed("dst", "vid")
+      }
+
       var iter = startIter
       var converged = false
       while (iter < maxIters && !converged) {
         iter += 1
         val t0 = System.nanoTime()
-        val msgs = em
-          .join(state.withColumnRenamed("vid", "src"), "src") // no exchange
-          .groupBy("dst")                                     // THE shuffle
-          .agg(F.sum(F.col("p") * F.col("rank")).as("msum"))
-          .withColumnRenamed("dst", "vid")
+        val msgs = messages(state)
         // The per-iteration dangling mass enters via a one-row broadcast,
         // NOT a literal: inlining a changing constant would make every
         // iteration's generated code unique and force a Janino recompile

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.algo._
+import graft.gen.TranscriptGen
+import graft.graph.GraphBuilder
+import graft.scale.{Csr, Salting}
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val graph = {
+    val turns = TranscriptGen.transcripts(spark, nConvs = 80, seed = 5).toDF()
+    GraphBuilder.fromTranscripts(turns)
+  }
+
+  lazy val plainRanks: Array[Double] =
+    PageRank.run(graph, PageRankConfig(tol = 1e-8))
+      .ranks.orderBy("vid").as[(Long, Double)].collect().map(_._2)
+
+  test("CSR block pack/unpack roundtrips the edge set exactly") {
+    val edges = graph.edges.groupBy("src", "dst")
+      .agg(F.sum("weight").as("weight"))
+    val packed = Csr.pack(edges, 4)
+    val back = Csr.unpack(packed)
+    val a = edges.orderBy("src", "dst").as[(Long, Long, Double)].collect().toSeq
+    val b = back.orderBy("src", "dst").as[(Long, Long, Double)].collect().toSeq
+    assert(a == b)
+    // block invariants
+    packed.collect().foreach { blk =>
+      assert(blk.offsets.length == blk.vids.length + 1)
+      assert(blk.offsets.last == blk.nbrs.length)
+      assert(blk.nbrs.length == blk.weights.length)
+      assert(blk.vids.toSeq == blk.vids.sorted.toSeq)
+    }
+  }
+
+  test("packed-adjacency PageRank == plain PageRank (1e-9)") {
+    val packed = PageRank.run(graph, PageRankConfig(tol = 1e-8, packedAdjacency = true))
+      .ranks.orderBy("vid").as[(Long, Double)].collect().map(_._2)
+    plainRanks.zip(packed).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9, s"$a vs $b")
+    }
+  }
+
+  test("salted PageRank == plain PageRank (1e-9), with real hot keys") {
+    // force salting to actually engage on this small graph
+    val salted = PageRank.run(graph, PageRankConfig(tol = 1e-8, salts = 4,
+      hotQuantile = 0.8, hotMinDegree = 2.0))
+      .ranks.orderBy("vid").as[(Long, Double)].collect().map(_._2)
+    plainRanks.zip(salted).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9, s"$a vs $b")
+    }
+  }
+
+  test("salting preserves the joined message multiset size") {
+    val em = graph.edges.groupBy("src", "dst")
+      .agg(F.sum("weight").as("w"))
+    val deg = em.groupBy(F.col("src").as("vid"))
+      .agg(F.sum("w").as("wdeg"))
+    val hot = Salting.hotKeys(deg, 0.8, 2.0)
+    assert(hot.count() > 0, "test graph must have hot keys for this test to bite")
+    val state = graph.vertices.withColumnRenamed("vid", "src")
+      .withColumn("rank", F.lit(1.0))
+    val plainJoin = em.join(state, "src").count()
+    val saltedJoin = Salting.saltEdges(em, hot, 4)
+      .join(Salting.saltState(state, hot, 4, "src"), Seq("src", "salt")).count()
+    assert(plainJoin == saltedJoin)
+  }
+
+  test("iteration plan shape: exactly ONE shuffle exchange per round") {
+    IterativeConf(spark) {
+      val ew = graph.edges.groupBy("src", "dst")
+        .agg(F.sum("weight").as("w"))
+      val wdeg = ew.groupBy("src").agg(F.sum("w").as("wdeg"))
+      val emRows = ew.join(wdeg, "src").select(
+        F.col("src"),
+        F.col("dst"),
+        (F.col("w") / F.col("wdeg")).as("p"))
+      val em = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(
+        emRows.repartition(F.col("src")))
+      val vmeta = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(
+        graph.vertices.repartition(F.col("vid"))
+          .withColumn("has_out", F.lit(true)))
+      val state0 = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(
+        vmeta.select(F.col("vid"),
+          F.lit(1.0).as("rank")))
+
+      val msgs = em.join(state0.withColumnRenamed("vid", "src"), "src")
+        .groupBy("dst")
+        .agg(F.sum(
+          F.col("p") * F.col("rank")).as("msum"))
+        .withColumnRenamed("dst", "vid")
+      val next = vmeta.join(msgs, Seq("vid"), "left")
+        .join(state0.withColumnRenamed("rank", "prev"), "vid")
+
+      val plan = next.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles == 1, s"expected 1 shuffle, got $shuffles in plan:\n$plan")
+    }
+  }
+}
