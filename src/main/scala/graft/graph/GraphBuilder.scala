@@ -88,8 +88,12 @@ object GraphBuilder {
     build(adjacency.union(invocation), dictPartitions)
   }
 
-  /** raw: (src_key, dst_key, kind) string edges → dense-id weighted graph. */
-  def build(raw: DataFrame, dictPartitions: Int = 0): LinkGraph = {
+  /** raw: (src_key, dst_key, kind) string edges → dense-id weighted graph.
+    * `raw` is consumed three times (key dictionary + two id joins); persist
+    * it so the upstream window/scan runs once (spills to disk at scale —
+    * the 100 TB variant would stage it to a table instead). */
+  def build(raw0: DataFrame, dictPartitions: Int = 0): LinkGraph = {
+    val raw = raw0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keys = raw.select(F.col("src_key").as("key"))
       .union(raw.select(F.col("dst_key").as("key")))
     val dict = DenseId.assign(keys, "key", dictPartitions)

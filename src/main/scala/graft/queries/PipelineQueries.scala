@@ -380,6 +380,10 @@ object PipelineQueries {
     "d_tokens" -> (dTokens _),
     "d_fingerprint" -> (dFingerprint _),
     "e_cosine_topk" -> (eCosineTopk _),
+    // rows-only check (no SQL oracle): LSH-bucketed ANN, the scale path of
+    // e_cosine_topk; recall vs brute force is asserted in SimilaritySpec.
+    "e_ann_lsh" -> ((s: SparkSession, d: String) =>
+      graft.pipeline.Similarity.annLsh(embs(s, d), AnnQueries, AnnK)),
     "m_binary_meta" -> (mBinaryMeta _)
   )
 

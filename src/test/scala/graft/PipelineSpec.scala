@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.pipeline.{Multimodal, Similarity}
+import graft.queries.PipelineQueries
+
+/** Multimodal plumbing + ANN recall sanity (SURVEY-plus pipeline ops). */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("multimodal batch extraction: deterministic, typed, batch-shaped") {
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .select(F.col("doc_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+          (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int")).as("modality"),
+        F.encode(F.col("text"), "UTF-8").as("payload"))
+      .as[Multimodal.MediaRow]
+    val f1 = Multimodal.extractFeatures(media, batchSize = 7)
+      .orderBy("doc_id").collect()
+    val f2 = Multimodal.extractFeatures(media.repartition(5), batchSize = 64)
+      .orderBy("doc_id").collect()
+    assert(f1.length == 500)
+    // determinism across partitioning and batch size
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.doc_id == b.doc_id && a.sha1 == b.sha1 && a.width == b.width &&
+        a.frames == b.frames && a.embedding.toSeq == b.embedding.toSeq)
+    }
+    // typed invariants
+    f1.foreach { f =>
+      assert(f.embedding.length == Multimodal.EmbeddingDim)
+      assert(f.width >= 1 && f.height >= 1 && f.frames >= 1)
+      assert(f.n_bytes > 0)
+      assert(f.modality != "video" || f.frames <= 24)
+    }
+  }
+
+  test("ANN LSH: deterministic, plausible recall vs brute force") {
+    val brute = PipelineQueries.eCosineTopk(spark, dir)
+      .where(F.col("rk") <= 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val lsh1 = Similarity.annLsh(emb, PipelineQueries.AnnQueries, 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh2 = Similarity.annLsh(emb, PipelineQueries.AnnQueries, 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(lsh1 == lsh2, "LSH must be deterministic")
+    assert(lsh1.nonEmpty)
+    val recall = (brute & lsh1).size.toDouble / brute.size
+    // 2 tables x 4 planes over 500 vecs: recall far above random chance
+    assert(recall >= 0.2, s"recall $recall suspiciously low")
+  }
+}
