@@ -41,9 +41,27 @@ object TranscriptGen {
     }
   }
 
+  // Shared immutable samplers + per-thread digest: generation is
+  // allocation-bound at bench scale, and these were the hot allocations.
+  private val lenZipf = new Zipf(1.3, MaxTurns)
+  private val toolZipf = new Zipf(1.2, ToolVocabSize)
+  private val sha1 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-1")
+  }
+  private val hexDigits = "0123456789abcdef".toCharArray
+
   def sha1Hex12(s: String): String = {
-    val d = MessageDigest.getInstance("SHA-1").digest(s.getBytes("UTF-8"))
-    d.map(b => f"${b & 0xff}%02x").mkString.take(12)
+    val md = sha1.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](12)
+    var i = 0
+    while (i < 12) {
+      val b = d(i / 2) & 0xff
+      out(i) = hexDigits(if (i % 2 == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   def convId(i: Long): String = f"c$i%06d"
@@ -52,8 +70,6 @@ object TranscriptGen {
   def genConv(seed: Long, i: Long): Seq[Turn] = {
     val cid = convId(i)
     val rng = new scala.util.Random(seed ^ scala.util.hashing.MurmurHash3.stringHash(cid).toLong)
-    val lenZipf = new Zipf(1.3, MaxTurns)
-    val toolZipf = new Zipf(1.2, ToolVocabSize)
     val nTurns = 2 + lenZipf.sample(rng.nextDouble())
     val baseTs = (Epoch + i * 13L) * 1000L
     (0 until nTurns).map { t =>

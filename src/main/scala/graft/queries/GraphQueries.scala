@@ -21,8 +21,17 @@ object GraphQueries {
   private def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
 
+  // One graph build per (session, dir): all g_* queries in a Verify/Bench
+  // pass share the derived edge set (materialized, flat-leaf).
+  private val cache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), LinkGraph]
+
   def graph(spark: SparkSession, dir: String): LinkGraph =
-    GraphBuilder.fromEvents(events(spark, dir))
+    cache.getOrElseUpdate((spark, dir), {
+      val g = GraphBuilder.fromEvents(events(spark, dir))
+      LinkGraph(
+        org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(g.edges),
+        g.dict)
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_edges" -> ((s, d) =>

@@ -52,10 +52,12 @@ object ScalingBench {
   }
 
   def run(cores: Int, dir: String, iters: Int, algo: String): Unit = {
-    // shuffle partitions = 4x cores: same story as a real cluster where the
-    // partition count scales with executor count; 4x gives the scheduler
-    // slack to balance without AQE inside the loop.
-    val spark = GraftSession.build(s"local[$cores]", s"scaling-$algo", cores * 4)
+    // IDENTICAL job config at both levels (the protocol's requirement):
+    // fixed 64 shuffle partitions — enough slack for 32 cores, sequential
+    // batches of 8 tasks at local[8]. Shuffle dirs should point at tmpfs
+    // (SPARK_LOCAL_DIRS=/dev/shm/...) so single-box disk bandwidth doesn't
+    // masquerade as a scaling ceiling.
+    val spark = GraftSession.build(s"local[$cores]", s"scaling-$algo", 64)
     val g = LinkGraph(spark.read.parquet(s"$dir/edges"),
       spark.read.parquet(s"$dir/dict"))
     val nEdges = g.edges.count()
@@ -81,6 +83,24 @@ object ScalingBench {
         val t = System.nanoTime()
         Triangles.run(g)
         Seq((System.nanoTime() - t) / 1e9)
+      case "scan_derive" =>
+        // CPU-bound kernel: S1 scan + E2 entity derivation (generation +
+        // SHA-1 text + key derivation + filter), zero shuffle. On one box
+        // the shuffle-heavy PageRank iteration is DRAM-bandwidth-bound
+        // (cores share one memory bus), so this kernel is the clean probe
+        // of the job's PARALLEL STRUCTURE — the thing executor-count
+        // scaling actually exercises on a real cluster.
+        val spark2 = g.edges.sparkSession
+        (1 to iters).map { _ =>
+          val t = System.nanoTime()
+          val turns = TranscriptGen.transcripts(spark2,
+            sys.env.getOrElse("SPARK_GRAFT_SCAN_CONVS", "12000000").toLong,
+            seed = 42, numPartitions = 256).toDF()
+          turns.select(
+              graft.graph.GraphBuilder.entityKey(F.col("role"), F.col("tool")).as("key"))
+            .where(F.col("key").startsWith("tool:")).count()
+          (System.nanoTime() - t) / 1e9
+        }
     }
     // steady-state: drop the first two iterations (codegen + cache warmup)
     val steady = if (walls.size > 4) walls.drop(2) else walls
