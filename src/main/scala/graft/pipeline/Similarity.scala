@@ -27,14 +27,14 @@ object Similarity {
   /** (vec_id, table_id, bucket) LSH bucket assignment. */
   def buckets(emb: DataFrame, seed: Int = 42, tables: Int = 2, planes: Int = 4): DataFrame = {
     val spark = emb.sparkSession
-    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
     val hp = spark.createDataFrame(hyperplanes(seed, tables, planes,
         dim = 64)).toDF("table_id", "plane_id", "w")
     emb
-      .select(F.col("vec_id"), F.expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(F.col("vec_id"), F.col("embedding").as("v"))
       .crossJoin(F.broadcast(hp))
       .select(F.col("vec_id"), F.col("table_id"), F.col("plane_id"),
-        (F.expr("aggregate(zip_with(v, w, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") > 0)
+        (F.expr("vector_dot(v, w)") > 0) // native codegen'd Expression
           .cast("int").as("bit"))
       .select(F.col("vec_id"), F.col("table_id"),
         F.expr("shiftleft(bit, cast(plane_id as int))").as("bitval"))
@@ -46,11 +46,11 @@ object Similarity {
     * query set (vec_id < nQueries). */
   def annLsh(emb: DataFrame, nQueries: Int, k: Int,
              seed: Int = 42, tables: Int = 2, planes: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val b = buckets(emb, seed, tables, planes).localCheckpoint(true)
-    val v = emb.select(F.col("vec_id"),
-        F.expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val v = emb.select(F.col("vec_id"), F.col("embedding").as("v"))
       .select(F.col("vec_id"), F.col("v"),
-        F.sqrt(F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")).as("nrm"))
+        F.sqrt(F.expr("vector_dot(v, v)")).as("nrm"))
       .localCheckpoint(true)
     val qb = b.where(F.col("vec_id") < nQueries)
       .select(F.col("vec_id").as("qid"), F.col("table_id"), F.col("bucket"))
@@ -60,9 +60,7 @@ object Similarity {
     val qv = v.select(F.col("vec_id").as("qid"), F.col("v").as("qv"), F.col("nrm").as("qn"))
     val scored = cand.join(v, "vec_id").join(F.broadcast(qv), "qid")
       .select(F.col("qid"), F.col("vec_id"),
-        F.round(
-          F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
-            (F.col("qn") * F.col("nrm")), 6).as("cosine"))
+        F.round(F.expr("vector_dot(qv, v)") / (F.col("qn") * F.col("nrm")), 6).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(F.col("cosine").desc, F.col("vec_id"))
     scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
       .select(F.col("qid"), F.col("vec_id"), F.col("cosine"), F.col("rk").cast("int").as("rk"))
