@@ -55,17 +55,24 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: two VectorDot instances can land in ONE generated
+      // projection (e.g. inline cosine = dot(q,v), dot(v,v)); fixed local
+      // names would be a Janino "Redefinition of local variable" compile
+      // error and a silent whole-projection fallback to interpreted eval.
+      val n = ctx.freshName("vdN")
+      val acc = ctx.freshName("vdAcc")
+      val i = ctx.freshName("vdI")
       def get(arr: String, e: Expression) =
-        if (elemType(e) == FloatType) s"(double) $arr.getFloat(i)" else s"$arr.getDouble(i)"
+        if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
-         |    acc += ${get(a, left)} * ${get(b, right)};
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += ${get(a, left)} * ${get(b, right)};
          |  }
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

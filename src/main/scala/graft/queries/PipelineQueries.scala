@@ -168,11 +168,33 @@ object PipelineQueries {
        |FROM sums ORDER BY doc_id""".stripMargin
   }
 
+  /** Near-dup pairs at Hamming <= HammingMax via PIGEONHOLE BANDING, not a
+    * cartesian: split the simhash into HammingMax+1 disjoint chunks — any
+    * pair within Hamming distance HammingMax differs in at most HammingMax
+    * chunks, so it matches EXACTLY in at least one. Equi-join on
+    * (chunk_idx, chunk_value) generates candidates (Σ per-bucket |bucket|²,
+    * not n²), then bit_count verifies. Output identical to the all-pairs
+    * definition ⇒ same oracle. At 16 bits the 4-bit chunks give only 16
+    * bucket values per chunk — d_simhash64 (64-bit, 16-bit chunks, 65536
+    * values) is the shape for real corpora; this keeps the published 16-bit
+    * contract. */
   def dSimhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = dSimhash(s, d).localCheckpoint(true)
-    val a = sh.select(F.col("doc_id").as("da"), F.col("simhash16").as("ha"))
-    val b = sh.select(F.col("doc_id").as("db"), F.col("simhash16").as("hb"))
-    a.crossJoin(b).where(F.col("da") < F.col("db"))
+    val nChunks = HammingMax + 1 // 4 chunks x 4 bits
+    val chunkBits = SimhashBits / nChunks
+    val mask = (1 << chunkBits) - 1
+    val long = sh.select(F.col("doc_id"), F.col("simhash16"), F.explode(F.array(
+        (0 until nChunks).map(c => F.struct(
+          F.lit(c).as("chunk_idx"),
+          F.shiftright(F.col("simhash16"), c * chunkBits).bitwiseAND(F.lit(mask)).as("cv"))): _*))
+        .as("e"))
+      .select(F.col("doc_id"), F.col("simhash16"), F.col("e.chunk_idx"), F.col("e.cv"))
+    val a = long.select(F.col("doc_id").as("da"), F.col("simhash16").as("ha"),
+      F.col("chunk_idx"), F.col("cv"))
+    val b = long.select(F.col("doc_id").as("db"), F.col("simhash16").as("hb"),
+      F.col("chunk_idx"), F.col("cv"))
+    a.join(b, Seq("chunk_idx", "cv")).where(F.col("da") < F.col("db"))
+      .select("da", "db", "ha", "hb").distinct()
       .select(F.col("da"), F.col("db"),
         F.bit_count(F.expr("ha ^ hb")).cast("int").as("hamming"))
       .where(F.col("hamming") <= HammingMax)
@@ -306,17 +328,21 @@ object PipelineQueries {
   // ------------------------------------------------------------ similarity
 
   def eCosineTopk(s: SparkSession, d: String): DataFrame = {
-    val v = embs(s, d).select(F.col("vec_id"),
-      F.expr("transform(embedding, x -> cast(x as double))").as("v"))
+    // vector_dot (native codegen'd Expression) over the raw float arrays:
+    // bitwise-equal to the zip_with/aggregate double fold (VectorDotSpec),
+    // but stays inside whole-stage codegen — the HOF fold is CodegenFallback
+    // and evicts the entire projection from WSCG.
+    graft.functions.GraftFunctions.register(s)
+    val v = embs(s, d).select(F.col("vec_id"), F.col("embedding").as("v"))
     val n = v.select(F.col("vec_id"), F.col("v"),
-      F.sqrt(F.expr("aggregate(transform(v, x -> x * x), 0D, (acc, x) -> acc + x)")).as("nrm"))
+      F.sqrt(F.expr("vector_dot(v, v)")).as("nrm"))
       .localCheckpoint(true)
     val q = n.where(F.col("vec_id") < AnnQueries)
       .select(F.col("vec_id").as("qid"), F.col("v").as("qv"), F.col("nrm").as("qn"))
     val pairs = n.crossJoin(F.broadcast(q)).where(F.col("vec_id") =!= F.col("qid"))
       .select(F.col("qid"), F.col("vec_id"),
         F.round(
-          F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          F.expr("vector_dot(qv, v)") /
             (F.col("qn") * F.col("nrm")), 6).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(F.col("cosine").desc, F.col("vec_id"))
     pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= AnnK)

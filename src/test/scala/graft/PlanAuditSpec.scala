@@ -50,4 +50,18 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
+
+  test("d_simhash_pairs: pigeonhole band join, ZERO cartesian/nested-loop") {
+    val plan = graft.queries.PipelineQueries.queries("d_simhash_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in plan:\n$plan")
+  }
+
+  test("d_ngram_jaccard: equi-joins only, ZERO cartesian/nested-loop") {
+    val plan = graft.queries.PipelineQueries.queries("d_ngram_jaccard")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in plan:\n$plan")
+  }
 }

@@ -54,6 +54,48 @@ class VectorDotSpec extends SparkSpec {
     assert(interp == 11.0)
   }
 
+  test("multiple vector_dot instances in ONE projection stay compiled (no Janino redefinition)") {
+    GraftFunctions.register(spark)
+    // Regression for the round-1 defect: doGenCode emitted fixed local names
+    // n/acc/i, so >=2 instances in one generated projection hit Janino
+    // "Redefinition of local variable" and the whole stage silently fell
+    // back to interpreted eval. With spark.sql.codegen.fallback=false a
+    // compile error THROWS instead of falling back, so this test fails
+    // loudly if the collision ever returns.
+    val saved = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(F.col("vec_id"), F.col("embedding").as("v"))
+      // inline-cosine shape: three dots over the same projection
+      val df = emb.select(
+        F.expr("vector_dot(v, v)").as("vv"),
+        F.expr("vector_dot(v, slice(v, 1, 8))").as("vh"),
+        F.expr("vector_dot(slice(v, 1, 8), slice(v, 1, 8))").as("hh"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WholeStageCodegen") || plan.contains("*(1) Project"), plan)
+      val rows = df.collect()
+      assert(rows.length == 500)
+      // values agree with the interpreted HOF reference
+      val ref = emb.select(
+        F.expr("aggregate(transform(v, x -> cast(x as double) * cast(x as double)), 0D, (acc, x) -> acc + x)").as("vv"),
+        // vector_dot is min-length; zip_with null-pads — slice both sides
+        F.expr("aggregate(zip_with(transform(slice(v, 1, 8), x -> cast(x as double)), transform(slice(v, 1, 8), x -> cast(x as double)), (x, y) -> x * y), 0D, (acc, x) -> acc + x)").as("vh"),
+        F.expr("aggregate(transform(slice(v, 1, 8), x -> cast(x as double) * cast(x as double)), 0D, (acc, x) -> acc + x)").as("hh")
+      ).collect()
+      rows.zip(ref).foreach { case (a, b) =>
+        assert(a.getDouble(0) == b.getDouble(0))
+        assert(a.getDouble(1) == b.getDouble(1))
+        assert(a.getDouble(2) == b.getDouble(2))
+      }
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("null array -> null; mismatched lengths -> min-length semantics") {
     GraftFunctions.register(spark)
     val df = Seq(
