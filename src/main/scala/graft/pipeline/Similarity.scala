@@ -8,11 +8,24 @@ import org.apache.spark.sql.expressions.Window
   * Baseline: brute-force cosine top-k (PipelineQueries.eCosineTopk, oracle
   * checked). Scale path here: random-hyperplane LSH — L independent tables
   * of P sign bits each; vectors sharing a bucket in ANY table are
-  * candidates, so cost is Σ per-bucket |bucket|² instead of n². Hyperplanes
-  * are derived deterministically from a seed (no RNG at plan time), so
-  * results are reproducible run-to-run and across parallelism levels.
+  * candidates, so cost is Σ per-bucket |bucket|² instead of n². Defaults
+  * give 2^8 = 256 buckets per table × 4 tables; 1-bit MULTIPROBE (query
+  * probes every bucket at Hamming distance ≤ 1 of its own) recovers the
+  * recall lost to finer buckets without coarsening them — candidate volume
+  * per query is (planes+1)·tables·(n/2^planes), sub-linear in n for
+  * planes ≳ log2(n / bucket_target).
+  *
+  * Hyperplanes are derived deterministically from a seed (no RNG at plan
+  * time), so results are reproducible run-to-run, across parallelism
+  * levels, AND expressible as a DuckDB VALUES literal — [[annLshSql]] emits
+  * the exact oracle SQL for the driver's correctness gate.
   */
 object Similarity {
+
+  val DefaultSeed = 42
+  val DefaultTables = 4
+  val DefaultPlanes = 8
+  val MultiProbeBits = 1 // probe all buckets within Hamming 1 of the query's
 
   /** Deterministic pseudo-random hyperplane weights in [-1, 1). */
   def hyperplanes(seed: Int, tables: Int, planes: Int, dim: Int): Seq[(Int, Int, Seq[Double])] =
@@ -24,12 +37,20 @@ object Similarity {
       (t, p, w)
     }
 
+  /** Embedding width, from the data (ADVICE r1: never hard-code — a wider
+    * embedding would silently bucket on a prefix under vector_dot's
+    * min-length semantics). One-row action; the generator emits a uniform
+    * width so the first row is authoritative. */
+  def dimOf(emb: DataFrame): Int =
+    emb.select(F.size(F.col("embedding"))).limit(1).first().getInt(0)
+
   /** (vec_id, table_id, bucket) LSH bucket assignment. */
-  def buckets(emb: DataFrame, seed: Int = 42, tables: Int = 2, planes: Int = 4): DataFrame = {
+  def buckets(emb: DataFrame, seed: Int = DefaultSeed, tables: Int = DefaultTables,
+              planes: Int = DefaultPlanes): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val hp = spark.createDataFrame(hyperplanes(seed, tables, planes,
-        dim = 64)).toDF("table_id", "plane_id", "w")
+    val hp = spark.createDataFrame(hyperplanes(seed, tables, planes, dimOf(emb)))
+      .toDF("table_id", "plane_id", "w")
     emb
       .select(F.col("vec_id"), F.col("embedding").as("v"))
       .crossJoin(F.broadcast(hp))
@@ -43,17 +64,24 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: top-k cosine among same-bucket candidates for the
-    * query set (vec_id < nQueries). */
+    * query set (vec_id < nQueries), with 1-bit multiprobe on the query
+    * side only (the corpus is indexed once; probing is per-query work). */
   def annLsh(emb: DataFrame, nQueries: Int, k: Int,
-             seed: Int = 42, tables: Int = 2, planes: Int = 4): DataFrame = {
+             seed: Int = DefaultSeed, tables: Int = DefaultTables,
+             planes: Int = DefaultPlanes, multiprobe: Boolean = true): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val b = buckets(emb, seed, tables, planes).localCheckpoint(true)
     val v = emb.select(F.col("vec_id"), F.col("embedding").as("v"))
       .select(F.col("vec_id"), F.col("v"),
         F.sqrt(F.expr("vector_dot(v, v)")).as("nrm"))
       .localCheckpoint(true)
+    val probeCols: Seq[org.apache.spark.sql.Column] =
+      F.col("bucket") +: (if (multiprobe)
+        (0 until planes).map(p => F.expr(s"bucket ^ ${1 << p}").cast("int"))
+      else Nil)
     val qb = b.where(F.col("vec_id") < nQueries)
-      .select(F.col("vec_id").as("qid"), F.col("table_id"), F.col("bucket"))
+      .select(F.col("vec_id").as("qid"), F.col("table_id"),
+        F.explode(F.array(probeCols: _*)).as("bucket"))
     val cand = qb.join(b, Seq("table_id", "bucket"))
       .where(F.col("vec_id") =!= F.col("qid"))
       .select("qid", "vec_id").distinct()
@@ -65,5 +93,55 @@ object Similarity {
     scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
       .select(F.col("qid"), F.col("vec_id"), F.col("cosine"), F.col("rk").cast("int").as("rk"))
       .orderBy("qid", "rk")
+  }
+
+  /** DuckDB oracle for [[annLsh]]: the deterministic hyperplanes become a
+    * VALUES literal, bucket assignment / multiprobe / top-k are plain SQL.
+    * `dim` must match the data's embedding width (64 in the driver's
+    * testdata at every SF). Dot products accumulate index-ascending in
+    * both engines, so bucket bits and round-6 cosines agree exactly. */
+  def annLshSql(nQueries: Int, k: Int, dim: Int,
+                seed: Int = DefaultSeed, tables: Int = DefaultTables,
+                planes: Int = DefaultPlanes, multiprobe: Boolean = true): String = {
+    val values = hyperplanes(seed, tables, planes, dim)
+      .map { case (t, p, w) => s"($t, $p, [${w.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n    ")
+    val probeArray =
+      if (multiprobe)
+        "[bucket" + (0 until planes).map(p => s", xor(bucket, ${1 << p})").mkString + "]"
+      else "[bucket]"
+    s"""WITH hp AS MATERIALIZED (
+       |  SELECT * FROM (VALUES
+       |    $values) AS t(table_id, plane_id, w)),
+       |v AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+       |dots AS (
+       |  SELECT v.vec_id, hp.table_id, hp.plane_id,
+       |         list_sum(list_transform(range(1, len(hp.w) + 1), i -> hp.w[i] * v.v[i])) AS dot
+       |  FROM v CROSS JOIN hp),
+       |b AS MATERIALIZED (
+       |  SELECT vec_id, table_id,
+       |         CAST(sum(CASE WHEN dot > 0 THEN 1 << plane_id ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |qb AS (
+       |  SELECT vec_id AS qid, table_id, unnest($probeArray) AS bucket
+       |  FROM b WHERE vec_id < $nQueries),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT qb.qid, b.vec_id
+       |  FROM qb JOIN b ON b.table_id = qb.table_id AND b.bucket = qb.bucket
+       |  WHERE b.vec_id <> qb.qid),
+       |scored AS (
+       |  SELECT c.qid, c.vec_id,
+       |         round(list_sum(list_transform(range(1, len(q.v) + 1),
+       |               i -> q.v[i] * n.v[i])) / (q.nrm * n.nrm), 6) AS cosine
+       |  FROM cand c JOIN n ON n.vec_id = c.vec_id JOIN n q ON q.vec_id = c.qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INTEGER) AS rk
+       |  FROM scored)
+       |SELECT qid, vec_id, cosine, rk FROM ranked WHERE rk <= $k
+       |ORDER BY qid, rk""".stripMargin
   }
 }

@@ -19,6 +19,10 @@ object PipelineQueries {
   val HammingMax = 3
   val AnnQueries = 20
   val AnnK = 5
+  // Driver-testdata embedding width at every SF (verified); the ORACLE SQL
+  // needs it at string-build time. The Spark path never uses it — it
+  // derives the width from the data (Similarity.dimOf).
+  val AnnDim = 64
 
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
@@ -406,8 +410,9 @@ object PipelineQueries {
     "d_tokens" -> (dTokens _),
     "d_fingerprint" -> (dFingerprint _),
     "e_cosine_topk" -> (eCosineTopk _),
-    // rows-only check (no SQL oracle): LSH-bucketed ANN, the scale path of
-    // e_cosine_topk; recall vs brute force is asserted in SimilaritySpec.
+    // LSH-bucketed ANN, the scale path of e_cosine_topk; hyperplanes are
+    // deterministic, so the bucket assignment + top-k has a full DuckDB
+    // oracle; recall vs brute force is additionally asserted in PipelineSpec.
     "e_ann_lsh" -> ((s: SparkSession, d: String) =>
       graft.pipeline.Similarity.annLsh(embs(s, d), AnnQueries, AnnK)),
     "m_binary_meta" -> (mBinaryMeta _)
@@ -424,6 +429,7 @@ object PipelineQueries {
     "d_tokens" -> dTokensSql,
     "d_fingerprint" -> dFingerprintSql,
     "e_cosine_topk" -> eCosineTopkSql,
+    "e_ann_lsh" -> graft.pipeline.Similarity.annLshSql(AnnQueries, AnnK, AnnDim),
     "m_binary_meta" -> mBinaryMetaSql
   )
 }

@@ -49,7 +49,9 @@ class PipelineSpec extends SparkSpec {
     assert(lsh1 == lsh2, "LSH must be deterministic")
     assert(lsh1.nonEmpty)
     val recall = (brute & lsh1).size.toDouble / brute.size
-    // 2 tables x 4 planes over 500 vecs: recall far above random chance
+    // 4 tables x 8 planes (256 buckets) + 1-bit multiprobe over 500
+    // near-random vecs: candidates ~14% of corpus, measured recall ~0.3 —
+    // about 2x the candidate fraction, the ceiling for unclustered data.
     assert(recall >= 0.2, s"recall $recall suspiciously low")
   }
 }
