@@ -15,6 +15,7 @@ object PipelineQueries {
   val NumMinhash = 16
   val BandSize = 4 // 4 bands x 4 rows
   val JaccardThreshold = 0.5
+  val ShingleDfCap = 64 // drop shingles held by more docs (non-discriminative)
   val SimhashBits = 16
   val HammingMax = 3
   val AnnQueries = 20
@@ -62,8 +63,19 @@ object PipelineQueries {
       |SELECT doc_id, dd.text_md5, canonical_id, doc_id <> canonical_id AS is_dup
       |FROM dd JOIN canon USING (text_md5) ORDER BY doc_id""".stripMargin
 
+  /** Contract: Jaccard over the DF-CAPPED shingle universe — shingles held
+    * by more than ShingleDfCap documents are dropped as non-discriminative
+    * BEFORE sizes and intersections. Without the cap, one hot shingle
+    * ("of the and" at web scale) makes the per-shingle self-join quadratic
+    * in its document frequency; with it, per-shingle fan-out is bounded by
+    * ShingleDfCap² regardless of corpus size. The fixtures' max df is 25
+    * (sf0.1), so the cap is output-invariant there — the oracle applies the
+    * identical cap. */
   def dNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(docs(s, d)).localCheckpoint(true)
+    val shAll = shingles(docs(s, d)).localCheckpoint(true)
+    val kept = shAll.groupBy("sh").agg(F.count(F.lit(1)).as("df"))
+      .where(F.col("df") <= ShingleDfCap).select("sh")
+    val sh = shAll.join(kept, Seq("sh"), "left_semi")
     val sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("sz"))
     val a = sh.select(F.col("doc_id").as("da"), F.col("sh"))
     val b = sh.select(F.col("doc_id").as("db"), F.col("sh"))
@@ -79,9 +91,13 @@ object PipelineQueries {
 
   val dNgramJaccardSql: String =
     s"""WITH $shinglesSql,
-       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |dfreq AS MATERIALIZED (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+       |shc AS MATERIALIZED (
+       |  SELECT s.doc_id, s.sh FROM sh s JOIN dfreq f ON f.sh = s.sh
+       |  WHERE f.df <= $ShingleDfCap),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)
        |SELECT da, db,
        |       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
@@ -89,9 +105,10 @@ object PipelineQueries {
        |WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= $JaccardThreshold
        |ORDER BY da, db""".stripMargin
 
-  /** MinHash signatures (md5-based) + banded LSH candidate pairs. */
-  def dMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(docs(s, d))
+  /** Banded-LSH candidate pairs over MinHash signatures (md5-based):
+    * (da, db, n_bands) for all pairs agreeing on >= 1 band. Bucketed join
+    * on (band_idx, band_value) — the scalable dedup shape, never all-pairs. */
+  private def lshCandidates(sh: DataFrame): DataFrame = {
     val hashAggs = (0 until NumMinhash).map(j =>
       F.min(F.md5(F.concat(F.lit(s"$j|"), F.col("sh")))).as(s"h$j"))
     val minhashes = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
@@ -109,10 +126,46 @@ object PipelineQueries {
     val r = long.select(F.col("doc_id").as("db"), F.col("band_idx"), F.col("bv"))
     l.join(r, Seq("band_idx", "bv")).where(F.col("da") < F.col("db"))
       .groupBy("da", "db").agg(F.countDistinct("band_idx").cast("long").as("n_bands"))
-      .orderBy("da", "db")
   }
 
-  val dMinhashLshSql: String = {
+  /** MinHash signatures + banded LSH candidate pairs. */
+  def dMinhashLsh(s: SparkSession, d: String): DataFrame =
+    lshCandidates(shingles(docs(s, d))).orderBy("da", "db")
+
+  /** Dedup END-TO-END — what a training pipeline actually runs: LSH
+    * candidates → exact-Jaccard verification (candidate-bounded, not
+    * all-pairs) → connected components over the duplicate graph → one
+    * canonical doc (min doc_id) per cluster. Exercises the graph engine
+    * (HashMin CC, one shuffle per round) on non-graph data. Every doc is
+    * emitted — singletons are their own canonical cluster. */
+  def dDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val dd = docs(s, d)
+    val sh = shingles(dd).localCheckpoint(true)
+    val sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("sz"))
+    val cand = lshCandidates(sh).select("da", "db")
+    // exact verify, bounded by |candidates| x shingles-per-doc
+    val inter = cand
+      .join(sh.select(F.col("doc_id").as("da"), F.col("sh")), "da")
+      .join(sh.select(F.col("doc_id").as("db"), F.col("sh")), Seq("db", "sh"))
+      .groupBy("da", "db").agg(F.count(F.lit(1)).as("inter"))
+    val verified = inter
+      .join(sz.select(F.col("doc_id").as("da"), F.col("sz").as("sza")), "da")
+      .join(sz.select(F.col("doc_id").as("db"), F.col("sz").as("szb")), "db")
+      .where(F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6)
+        >= JaccardThreshold)
+      .select("da", "db")
+    val dupGraph = graft.graph.LinkGraph(
+      edges = verified.select(F.col("da").as("src"), F.col("db").as("dst"),
+        F.lit(1).as("kind"), F.lit(1.0).as("weight")),
+      dict = dd.select(F.col("doc_id").cast("string").as("key"), F.col("doc_id").as("vid")))
+    graft.algo.ConnectedComponents.run(dupGraph).labels
+      .select(F.col("vid").as("doc_id"), F.col("label").as("cluster_id"),
+        (F.col("vid") === F.col("label")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared CTE text: shingles → minhash signatures → banded long form. */
+  private val lshCtes: String = {
     val hashAggs = (0 until NumMinhash)
       .map(j => s"min(md5('$j|' || sh)) AS h$j").mkString(",\n    ")
     val nBands = NumMinhash / BandSize
@@ -120,19 +173,49 @@ object PipelineQueries {
       val cols = (0 until BandSize).map(r => s"h${b * BandSize + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_idx, md5($cols) AS bv FROM mh"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $shinglesSql,
+    s"""$shinglesSql,
        |mh AS MATERIALIZED (
        |  SELECT doc_id,
        |    $hashAggs
        |  FROM sh GROUP BY doc_id),
        |long AS MATERIALIZED (
-       |  $bandExprs)
+       |  $bandExprs)""".stripMargin
+  }
+
+  val dMinhashLshSql: String =
+    s"""WITH $lshCtes
        |SELECT l.doc_id AS da, r.doc_id AS db,
        |       CAST(count(DISTINCT l.band_idx) AS BIGINT) AS n_bands
        |FROM long l JOIN long r ON l.band_idx = r.band_idx AND l.bv = r.bv
        |     AND l.doc_id < r.doc_id
        |GROUP BY 1, 2 ORDER BY da, db""".stripMargin
-  }
+
+  /** LSH candidates → exact-Jaccard verify → recursive min-reachability
+    * (= HashMin CC fixpoint by definition) → min-doc_id canonical. */
+  val dDedupClustersSql: String =
+    s"""WITH RECURSIVE $lshCtes,
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+       |  FROM long l JOIN long r ON l.band_idx = r.band_idx AND l.bv = r.bv
+       |       AND l.doc_id < r.doc_id),
+       |sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.da, c.db, count(*) AS inter
+       |  FROM cand c JOIN sh a ON a.doc_id = c.da
+       |       JOIN sh b ON b.doc_id = c.db AND b.sh = a.sh
+       |  GROUP BY 1, 2),
+       |ver AS MATERIALIZED (
+       |  SELECT da, db FROM inter
+       |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= $JaccardThreshold),
+       |sym AS MATERIALIZED (
+       |  SELECT da AS src, db AS dst FROM ver UNION SELECT db, da FROM ver),
+       |reach AS (
+       |  SELECT doc_id AS vid, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT reach.vid, sym.dst AS r FROM reach JOIN sym ON sym.src = reach.r)
+       |SELECT vid AS doc_id, min(r) AS cluster_id, (vid = min(r)) AS is_canonical
+       |FROM reach GROUP BY vid ORDER BY doc_id""".stripMargin
 
   /** 16-bit SimHash over distinct words (md5 bit sampling). */
   def dSimhash(s: SparkSession, d: String): DataFrame = {
@@ -403,6 +486,7 @@ object PipelineQueries {
     "d_dedup_exact" -> (dExactDedup _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_dedup_clusters" -> (dDedupClusters _),
     "d_simhash" -> (dSimhash _),
     "d_simhash_pairs" -> (dSimhashPairs _),
     "d_langid" -> (dLangid _),
@@ -422,6 +506,7 @@ object PipelineQueries {
     "d_dedup_exact" -> dExactDedupSql,
     "d_ngram_jaccard" -> dNgramJaccardSql,
     "d_minhash_lsh" -> dMinhashLshSql,
+    "d_dedup_clusters" -> dDedupClustersSql,
     "d_simhash" -> dSimhashSql,
     "d_simhash_pairs" -> dSimhashPairsSql,
     "d_langid" -> dLangidSql,
