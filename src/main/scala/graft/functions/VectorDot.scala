@@ -84,7 +84,10 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
 
 /** Session registration for graft's native expressions. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+  }
 }

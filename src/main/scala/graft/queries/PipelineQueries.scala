@@ -298,6 +298,78 @@ object PipelineQueries {
        |ORDER BY da, db""".stripMargin
   }
 
+  /** 64-bit SimHash via the native [[graft.functions.SimHash64]] Expression:
+    * per-doc distinct words with array_distinct (NO explode+distinct
+    * shuffle — the 16-bit tower's main scale cost), one codegen-resident
+    * call per row. Oracle = the 16-bit SQL tower generalized to 64 bits
+    * with exact two's-complement BIGINT assembly. */
+  def dSimhash64(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    docs(s, d).select(F.col("doc_id"),
+        F.expr("simhash64(array_distinct(filter(split(text, ' '), w -> w <> '')))")
+          .as("simhash64"))
+      .orderBy("doc_id")
+  }
+
+  val dSimhash64Sql: String = {
+    val bitSums = (0 until 64).map { b =>
+      val dig = b / 4 + 1
+      val mask = 8 >> (b % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(word), $dig, 1)) - 1) & $mask) > 0 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n    ")
+    // exact two's complement: bit 63 contributes -2^63, bits 0..62 positive
+    val assemble = (0 until 64).map { b =>
+      val v = if (b == 63) "(-9223372036854775807 - 1)" else (1L << b).toString
+      s"CASE WHEN s$b > 0 THEN $v ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH words0 AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |w2 AS (SELECT DISTINCT doc_id, word FROM words0 WHERE word <> ''),
+       |sums AS MATERIALIZED (SELECT doc_id,
+       |    $bitSums
+       |  FROM w2 GROUP BY doc_id)
+       |SELECT d.doc_id, CAST($assemble AS BIGINT) AS simhash64
+       |FROM documents d LEFT JOIN sums ON sums.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Pigeonhole banding over the 64-bit simhash: HammingMax+1 = 4 chunks of
+    * SIXTEEN bits each (65536 values per chunk) — the genuinely scalable
+    * shape the 16-bit variant's 4-bit chunks only gesture at. */
+  def dSimhash64Pairs(s: SparkSession, d: String): DataFrame = {
+    val sh = dSimhash64(s, d).localCheckpoint(true)
+    val nChunks = HammingMax + 1
+    val chunkBits = 64 / nChunks
+    val mask = (1L << chunkBits) - 1
+    val long = sh.select(F.col("doc_id"), F.col("simhash64"), F.explode(F.array(
+        (0 until nChunks).map(c => F.struct(
+          F.lit(c).as("chunk_idx"),
+          F.shiftrightunsigned(F.col("simhash64"), c * chunkBits)
+            .bitwiseAND(F.lit(mask)).as("cv"))): _*))
+        .as("e"))
+      .select(F.col("doc_id"), F.col("simhash64"), F.col("e.chunk_idx"), F.col("e.cv"))
+    val a = long.select(F.col("doc_id").as("da"), F.col("simhash64").as("ha"),
+      F.col("chunk_idx"), F.col("cv"))
+    val b = long.select(F.col("doc_id").as("db"), F.col("simhash64").as("hb"),
+      F.col("chunk_idx"), F.col("cv"))
+    a.join(b, Seq("chunk_idx", "cv")).where(F.col("da") < F.col("db"))
+      .select("da", "db", "ha", "hb").distinct()
+      .select(F.col("da"), F.col("db"),
+        F.bit_count(F.expr("ha ^ hb")).cast("int").as("hamming"))
+      .where(F.col("hamming") <= HammingMax)
+      .orderBy("da", "db")
+  }
+
+  val dSimhash64PairsSql: String = {
+    val inner = dSimhash64Sql.replace("ORDER BY d.doc_id", "")
+    s"""WITH sh AS MATERIALIZED ($inner)
+       |SELECT a.doc_id AS da, b.doc_id AS db,
+       |       CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INTEGER) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash64, b.simhash64)) <= $HammingMax
+       |ORDER BY da, db""".stripMargin
+  }
+
   // -------------------------------------------------------- text analysis
 
   private val stopwords = Map(
@@ -489,6 +561,8 @@ object PipelineQueries {
     "d_dedup_clusters" -> (dDedupClusters _),
     "d_simhash" -> (dSimhash _),
     "d_simhash_pairs" -> (dSimhashPairs _),
+    "d_simhash64" -> (dSimhash64 _),
+    "d_simhash64_pairs" -> (dSimhash64Pairs _),
     "d_langid" -> (dLangid _),
     "d_quality" -> (dQuality _),
     "d_tokens" -> (dTokens _),
@@ -509,6 +583,8 @@ object PipelineQueries {
     "d_dedup_clusters" -> dDedupClustersSql,
     "d_simhash" -> dSimhashSql,
     "d_simhash_pairs" -> dSimhashPairsSql,
+    "d_simhash64" -> dSimhash64Sql,
+    "d_simhash64_pairs" -> dSimhash64PairsSql,
     "d_langid" -> dLangidSql,
     "d_quality" -> dQualitySql,
     "d_tokens" -> dTokensSql,
