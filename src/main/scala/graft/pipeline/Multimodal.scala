@@ -23,7 +23,7 @@ object Multimodal {
       doc_id: Long,
       modality: String,
       n_bytes: Int,
-      sha1: String,
+      sha256: String,
       width: Int,
       height: Int,
       frames: Int,
@@ -32,9 +32,10 @@ object Multimodal {
   val EmbeddingDim = 8
 
   /** Deterministic fake decode: metadata and a tiny "embedding" derived
-    * purely from the payload bytes. REAL DECODER GOES HERE. */
+    * purely from the payload bytes (SHA-256 — DuckDB-expressible, so the
+    * driver's oracle can replay it). REAL DECODER GOES HERE. */
   def decodeStub(row: MediaRow): MediaFeatures = {
-    val d = MessageDigest.getInstance("SHA-1").digest(row.payload)
+    val d = MessageDigest.getInstance("SHA-256").digest(row.payload)
     val hex = d.map(b => f"${b & 0xff}%02x").mkString
     val width = (d(0) & 0x3f) + 1
     val height = (d(1) & 0x2f) + 1

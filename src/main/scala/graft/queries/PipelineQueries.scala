@@ -543,6 +543,49 @@ object PipelineQueries {
         (F.pmod(F.col("n_chars"), F.lit(48)) + 1).cast("int").as("fake_height"))
       .orderBy("doc_id")
 
+  /** Batched typed feature extraction over a real binary column (payload =
+    * utf8 bytes of text — the only honest payload in a container without
+    * media libs). The mapPartitions batch plumbing is graft.pipeline
+    * .Multimodal; the stub decoder's outputs are SHA-256-derived and thus
+    * DuckDB-replayable, so the whole path gets a driver CORRECTNESS row.
+    * (embedding column dropped here: float-array parity is asserted in
+    * PipelineSpec instead of the hash gate.) */
+  def mFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = docs(s, d).select(F.col("doc_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+          (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int")).as("modality"),
+        F.encode(F.col("text"), "UTF-8").as("payload"))
+      .as[graft.pipeline.Multimodal.MediaRow]
+    graft.pipeline.Multimodal.extractFeatures(media)
+      .toDF()
+      .select(F.col("doc_id"), F.col("modality"), F.col("n_bytes"),
+        F.col("sha256"), F.col("width"), F.col("height"), F.col("frames"))
+      .orderBy("doc_id")
+  }
+
+  val mFeaturesSql: String = {
+    // byte k of the digest from hex chars 2k+1, 2k+2
+    def byteAt(k: Int): String =
+      s"((strpos('0123456789abcdef', substr(sha256, ${2 * k + 1}, 1)) - 1) * 16 + " +
+        s"(strpos('0123456789abcdef', substr(sha256, ${2 * k + 2}, 1)) - 1))"
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS modality,
+       |    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       |    sha256(text) AS sha256
+       |  FROM documents),
+       |b AS (
+       |  SELECT *, ${byteAt(0)} AS d0, ${byteAt(1)} AS d1, ${byteAt(2)} AS d2 FROM h)
+       |SELECT doc_id, modality, n_bytes, sha256,
+       |  CAST((d0 & 63) + 1 AS INTEGER) AS width,
+       |  CAST((d1 & 47) + 1 AS INTEGER) AS height,
+       |  CAST(CASE WHEN modality = 'video' THEN (d2 & 23) + 1
+       |            WHEN modality = 'audio' THEN (d2 & 7) + 1
+       |            ELSE 1 END AS INTEGER) AS frames
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   val mBinaryMetaSql: String =
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -573,7 +616,8 @@ object PipelineQueries {
     // oracle; recall vs brute force is additionally asserted in PipelineSpec.
     "e_ann_lsh" -> ((s: SparkSession, d: String) =>
       graft.pipeline.Similarity.annLsh(embs(s, d), AnnQueries, AnnK)),
-    "m_binary_meta" -> (mBinaryMeta _)
+    "m_binary_meta" -> (mBinaryMeta _),
+    "m_features" -> (mFeatures _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -591,6 +635,7 @@ object PipelineQueries {
     "d_fingerprint" -> dFingerprintSql,
     "e_cosine_topk" -> eCosineTopkSql,
     "e_ann_lsh" -> graft.pipeline.Similarity.annLshSql(AnnQueries, AnnK, AnnDim),
-    "m_binary_meta" -> mBinaryMetaSql
+    "m_binary_meta" -> mBinaryMetaSql,
+    "m_features" -> mFeaturesSql
   )
 }

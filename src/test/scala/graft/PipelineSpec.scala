@@ -25,7 +25,7 @@ class PipelineSpec extends SparkSpec {
     assert(f1.length == 500)
     // determinism across partitioning and batch size
     f1.zip(f2).foreach { case (a, b) =>
-      assert(a.doc_id == b.doc_id && a.sha1 == b.sha1 && a.width == b.width &&
+      assert(a.doc_id == b.doc_id && a.sha256 == b.sha256 && a.width == b.width &&
         a.frames == b.frames && a.embedding.toSeq == b.embedding.toSeq)
     }
     // typed invariants
