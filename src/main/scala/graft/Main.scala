@@ -42,7 +42,8 @@ object Main {
   val usage: String =
     """usage: graft.Main <pagerank|cc|lpa|triangles> [--input P|--events P|--conv N]
       |  [--seed 42] [--out DIR] [--ckpt DIR] [--resume] [--tol 1e-6]
-      |  [--damping 0.85] [--max-iters 100] [--rounds 10] [--local N]""".stripMargin
+      |  [--damping 0.85] [--max-iters 100] [--rounds 10] [--local N]
+      |  [--algo hashmin|star]  (cc only)""".stripMargin
 
   def loadGraph(spark: SparkSession, opts: Map[String, String]): LinkGraph =
     if (opts.contains("input"))
@@ -104,10 +105,17 @@ object Main {
         write(r.ranks.orderBy(F.col("rank").desc, F.col("vid")), "ranks")
         println(s"""{"cmd":"pagerank","iterations":${r.iterations},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "cc" =>
-        val r = ConnectedComponents.run(graph,
-          opts.getOrElse("max-rounds", "200").toInt, materializer(spark, opts, "cc"))
+        // --algo star: small-star/large-star contraction — O(log n) rounds,
+        // for deep graphs; default HashMin (rounds ≈ diameter) wins on
+        // shallow transcript stars. Labels are identical by construction.
+        val star = opts.getOrElse("algo", "hashmin") == "star"
+        val r =
+          if (star) ConnectedComponents.runStar(graph,
+            opts.getOrElse("max-rounds", "60").toInt, materializer(spark, opts, "cc"))
+          else ConnectedComponents.run(graph,
+            opts.getOrElse("max-rounds", "200").toInt, materializer(spark, opts, "cc"))
         write(r.labels.orderBy("vid"), "labels")
-        println(s"""{"cmd":"cc","rounds":${r.rounds},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+        println(s"""{"cmd":"cc","algo":"${if (star) "star" else "hashmin"}","rounds":${r.rounds},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "lpa" =>
         val r = LabelPropagation.run(graph,
           opts.getOrElse("rounds", "10").toInt, materializer(spark, opts, "lpa"))

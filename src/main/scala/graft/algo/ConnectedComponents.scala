@@ -69,4 +69,67 @@ object ConnectedComponents {
       mat.close()
       out
     }
+
+  /** Alternating small-star/large-star contraction — Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" (SoCC 2014)
+    * [PAPERS.md]. O(log n) rounds regardless of diameter, vs HashMin's
+    * rounds ≈ diameter: the scale path for DEEP graphs (long reply chains
+    * at 10¹²-turn scale), while HashMin stays the default for shallow
+    * transcript stars (g_cc oracle unchanged).
+    *
+    *   large-star(u): ∀v ∈ Γ(u), v > u: emit (v, min(Γ(u) ∪ {u}))
+    *   small-star(u): Γ⁻ = {v ∈ Γ(u): v < u}, m = min(Γ⁻):
+    *                  emit (u, m) and ∀v ∈ Γ⁻ \ {m}: emit (v, m)
+    *
+    * Fixpoint = star graphs centered at component minima, so labels equal
+    * HashMin's EXACTLY (asserted in StarCcSpec). Convergence test is exact:
+    * equal edge-set cardinality + empty one-sided anti-join (both sides
+    * distinct). Per round: 2 groupBy-min shuffles + distinct — constant
+    * factor above HashMin's single shuffle, paid back logarithmically. */
+  def runStar(graph: LinkGraph, maxRounds: Int = 60,
+              mat: Materializer = new LocalMaterializer): CcResult =
+    IterativeConf(graph.spark) {
+      val init = graph.edges.select(
+          F.greatest(F.col("src"), F.col("dst")).as("u"),
+          F.least(F.col("src"), F.col("dst")).as("v"))
+        .where(F.col("u") =!= F.col("v")).distinct()
+      var e = mat.iter(0, init.repartition(F.col("u")), Map("init" -> true))
+      var prevCnt = e.count()
+      var round = 0
+      var changed = -1L
+      while (changed != 0L && round < maxRounds && prevCnt > 0) {
+        round += 1
+        val t0 = System.nanoTime()
+        val sym = e.select(F.col("u"), F.col("v"))
+          .union(e.select(F.col("v").as("u"), F.col("u").as("v")))
+        val lsMins = sym.groupBy("u").agg(F.min("v").as("mn"))
+          .select(F.col("u"), F.least(F.col("u"), F.col("mn")).as("m"))
+        val ls = sym.join(lsMins, "u").where(F.col("v") > F.col("u"))
+          .select(F.col("v").as("u"), F.col("m").as("v")).distinct()
+        // ls edges all have u > v; small-star needs no re-canonicalization
+        val ssMins = ls.groupBy("u").agg(F.min("v").as("m"))
+        val ss = ls.join(ssMins, "u").where(F.col("v") =!= F.col("m"))
+          .select(F.col("v").as("u"), F.col("m").as("v"))
+          .union(ssMins.select(F.col("u"), F.col("m").as("v")))
+          .distinct()
+        // change test BEFORE commit: mat.iter unpersists e's blocks, so e
+        // must not be touched afterwards. ss ⊆ e (anti == 0) ∧ |ss| == |e|
+        // ⇒ sets equal (both distinct) — exact, no hashing shortcut.
+        val anti = ss.join(e, Seq("u", "v"), "left_anti").count()
+        val committed = mat.iter(round, ss.repartition(F.col("u")), Map.empty)
+        val cnt = committed.count()
+        changed = if (cnt == prevCnt && anti == 0L) 0L else 1L
+        mat.note(round, Map("edges" -> cnt,
+          "wall_ms" -> (System.nanoTime() - t0) / 1000000L))
+        prevCnt = cnt
+        e = committed
+      }
+      // star edges point member -> center; centers/isolated label themselves
+      val labels = graph.vertices
+        .join(e.groupBy(F.col("u").as("vid")).agg(F.min("v").as("lbl")), Seq("vid"), "left")
+        .select(F.col("vid"), F.coalesce(F.col("lbl"), F.col("vid")).as("label"))
+      val out = CcResult(labels, round, mat.log)
+      mat.close()
+      out
+    }
 }
