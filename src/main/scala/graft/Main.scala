@@ -69,7 +69,10 @@ object Main {
               .iterator().asScala.foreach(java.nio.file.Files.delete)
           }
         }
-        new CheckpointMaterializer(new ParquetManifestIO(spark, dir), table)
+        // all iterative loops key state by vid: bucketed snapshots keep the
+        // one-shuffle contract across resume
+        new CheckpointMaterializer(new ParquetManifestIO(spark, dir), table,
+          bucket = Some(("vid", spark.conf.get("spark.sql.shuffle.partitions").toInt)))
       case None => new LocalMaterializer
     }
 

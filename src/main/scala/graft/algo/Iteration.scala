@@ -66,10 +66,13 @@ final class LocalMaterializer extends Materializer {
   * manifest carries per-partition lineage; convergence metrics follow as an
   * atomic note. The frame handed back to the loop is the CACHED pre-write
   * plan (partitioning preserved, no re-read), so durability costs one
-  * parquet write per iteration, not an extra exchange. On resume the state
-  * is re-read from the committed files (one re-shuffle, first iteration
-  * only). */
-final class CheckpointMaterializer(io: TableIO, val stateTable: String) extends Materializer {
+  * parquet write per iteration, not an extra exchange. With `bucket =
+  * Some((key, P))` snapshots are written hash-BUCKETED on the loop key, so
+  * a RESUMED loop's state scan reports HashPartitioning(key, P) and the
+  * one-shuffle contract holds from the first resumed iteration too (without
+  * it, resume pays one recovery re-shuffle). */
+final class CheckpointMaterializer(io: TableIO, val stateTable: String,
+                                   bucket: Option[(String, Int)] = None) extends Materializer {
   private var prevIterRddIds: Set[Int] = Set.empty
 
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
@@ -85,7 +88,7 @@ final class CheckpointMaterializer(io: TableIO, val stateTable: String) extends 
     // One compute: flat checkpoint; the durable parquet write + manifest
     // then stream from the checkpointed blocks, not a recompute.
     val (flat, created) = checkpointTracked(df)
-    io.commit(stateTable, iter, flat, meta)
+    io.commit(stateTable, iter, flat, meta, bucket)
     prevIterRddIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     prevIterRddIds = created
     flat

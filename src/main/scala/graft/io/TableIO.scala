@@ -28,8 +28,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 trait TableIO {
   /** Atomically commit `df` as snapshot `iter` of `table`; returns a frame
-    * reading the committed data (lineage-truncated). */
-  def commit(table: String, iter: Int, df: DataFrame, meta: Map[String, Any]): DataFrame
+    * reading the committed data (lineage-truncated). With `bucket =
+    * Some((col, n))` the snapshot is written HASH-BUCKETED on `col` into
+    * `n` buckets and `read` reconstructs a scan that REPORTS
+    * HashPartitioning(col, n) — so a resumed iterative loop keeps the
+    * one-shuffle-per-round contract from its first iteration instead of
+    * paying a recovery re-shuffle. */
+  def commit(table: String, iter: Int, df: DataFrame, meta: Map[String, Any],
+             bucket: Option[(String, Int)] = None): DataFrame
   def read(table: String, iter: Int): DataFrame
   /** Highest committed snapshot of `table`, if any. */
   def latest(table: String): Option[Int]
@@ -52,11 +58,29 @@ final class ParquetManifestIO(spark: SparkSession, root: String) extends TableIO
   private def manifestPath(table: String, iter: Int): Path =
     commitsDir.resolve(s"$table-$iter.json")
 
-  override def commit(table: String, iter: Int, df: DataFrame, meta: Map[String, Any]): DataFrame = {
+  /** Deterministic catalog identifier for a bucketed snapshot — re-derivable
+    * by a RESUMING session that only knows (root, table, iter). */
+  private def catalogName(table: String, iter: Int): String =
+    s"graft_${table}_${iter}_${Integer.toHexString(root.hashCode)}"
+      .replaceAll("[^a-zA-Z0-9_]", "_")
+
+  override def commit(table: String, iter: Int, df: DataFrame, meta: Map[String, Any],
+                      bucket: Option[(String, Int)] = None): DataFrame = {
     val dir = tableDir(table, iter)
     // Overwrite fully: a previous torn (un-manifested) attempt is erased.
     deleteRecursively(dir)
-    df.write.mode("overwrite").parquet(dir.toString)
+    bucket match {
+      case Some((col, n)) =>
+        // Bucketed external table: bucket id = pmod(murmur3(col), n), the
+        // same function as HashPartitioning — the committing loop's state is
+        // already partitioned that way, so each task writes ONE bucket file.
+        val tbl = catalogName(table, iter)
+        spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+        df.write.mode("overwrite").bucketBy(n, col)
+          .option("path", dir.toString).format("parquet").saveAsTable(tbl)
+      case None =>
+        df.write.mode("overwrite").parquet(dir.toString)
+    }
     val files = Files.list(dir).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("part-"))
       .map(p => Map("file" -> p.getFileName.toString, "bytes" -> Files.size(p)))
@@ -66,6 +90,11 @@ final class ParquetManifestIO(spark: SparkSession, root: String) extends TableIO
     manifest.put("iter", iter)
     manifest.put("files", files.map(_.asJava).asJava)
     manifest.put("committed_at", java.time.Instant.now().toString)
+    bucket.foreach { case (col, n) =>
+      manifest.put("bucket_col", col)
+      manifest.put("bucket_n", n)
+      manifest.put("schema_ddl", df.schema.toDDL)
+    }
     meta.foreach { case (k, v) => manifest.put(k, v) }
     Files.createDirectories(commitsDir)
     val tmp = commitsDir.resolve(s".tmp-$table-$iter-${System.nanoTime()}.json")
@@ -78,7 +107,26 @@ final class ParquetManifestIO(spark: SparkSession, root: String) extends TableIO
   override def read(table: String, iter: Int): DataFrame = {
     require(Files.exists(manifestPath(table, iter)),
       s"no committed snapshot $table/iter=$iter")
-    spark.read.parquet(tableDir(table, iter).toString)
+    val manifest = mapper.readValue(Files.readAllBytes(manifestPath(table, iter)),
+      classOf[java.util.Map[String, Any]]).asScala
+    manifest.get("bucket_col") match {
+      case Some(col: String) =>
+        // Re-declare the bucketed table if this session doesn't know it yet
+        // (the resume-after-restart path): the CLUSTERED BY declaration is
+        // what makes the scan report HashPartitioning(col, n) — no shuffle.
+        val n = manifest("bucket_n").toString.toInt
+        val ddl = manifest("schema_ddl").toString
+        val tbl = catalogName(table, iter)
+        if (!spark.catalog.tableExists(tbl)) {
+          spark.sql(
+            s"""CREATE TABLE `$tbl` ($ddl) USING parquet
+               |CLUSTERED BY (`$col`) INTO $n BUCKETS
+               |LOCATION '${tableDir(table, iter)}'""".stripMargin)
+        }
+        spark.table(tbl)
+      case _ =>
+        spark.read.parquet(tableDir(table, iter).toString)
+    }
   }
 
   override def latest(table: String): Option[Int] = {

@@ -81,6 +81,39 @@ class ResumeSpec extends SparkSpec {
     assert(log.drop(1).forall(m => m.contains("dangling_mass") && m.contains("wall_ms")))
   }
 
+  test("bucketed resume: same ranks AND zero recovery shuffle on the state scan") {
+    import org.apache.spark.sql.{functions => F}
+    val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val bucket = Some(("vid", P))
+    val dir = tmp()
+    ranksOf(new CheckpointMaterializer(
+      new ParquetManifestIO(spark, dir), "pagerank", bucket), maxIters = 3)
+
+    // resumed state scan must report HashPartitioning(vid, P): joining it
+    // with an em invariant partitioned on the SAME key needs NO exchange on
+    // either side — the round's only shuffle stays the message groupBy.
+    val mat = new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "pagerank", bucket)
+    val Some((k, st)) = mat.resume()
+    assert(k == 3)
+    graft.algo.IterativeConf(spark) {
+      val em = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(
+        graph.edges.select(F.col("src"), F.col("dst"), F.lit(0.1).as("p"))
+          .repartition(F.col("src")))
+      val msgs = em.join(st.select(F.col("vid").as("src"), F.col("rank")), "src")
+        .groupBy("dst").agg(F.sum(F.col("p") * F.col("rank")).as("msum"))
+      val plan = msgs.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(shuffles == 1, s"resumed round must shuffle ONCE (the groupBy), got $shuffles:\n$plan")
+    }
+
+    // and the resumed run converges to the uninterrupted result
+    val resumed = ranksOf(new CheckpointMaterializer(
+      new ParquetManifestIO(spark, dir), "pagerank", bucket))
+    val clean = ranksOf(new CheckpointMaterializer(
+      new ParquetManifestIO(spark, tmp()), "pagerank"))
+    resumed.zip(clean).foreach { case (a, b) => assert(math.abs(a - b) <= 1e-9) }
+  }
+
   test("CC resume: exact same labels as uninterrupted") {
     val dir = tmp()
     ConnectedComponents.run(graph, maxRounds = 2,
