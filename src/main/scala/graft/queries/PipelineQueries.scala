@@ -39,6 +39,17 @@ object PipelineQueries {
         .as("sh"))
       .distinct()
 
+  // Four dedup/fingerprint queries consume the same shingle set; one
+  // materialization per (session, dir) — same pattern as the graph cache.
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def shinglesOf(s: SparkSession, d: String): DataFrame =
+    shingleCache.getOrElseUpdate((s, d), shingles(docs(s, d)).localCheckpoint(true))
+
+  // d_simhash and d_simhash_pairs share the 16-bit signature frame.
+  private val simhashCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private val shinglesSql: String =
     """w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       |idx AS (SELECT doc_id, words, unnest(range(len(words) - 2)) AS i
@@ -72,7 +83,7 @@ object PipelineQueries {
     * (sf0.1), so the cap is output-invariant there — the oracle applies the
     * identical cap. */
   def dNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val shAll = shingles(docs(s, d)).localCheckpoint(true)
+    val shAll = shinglesOf(s, d)
     val kept = shAll.groupBy("sh").agg(F.count(F.lit(1)).as("df"))
       .where(F.col("df") <= ShingleDfCap).select("sh")
     val sh = shAll.join(kept, Seq("sh"), "left_semi")
@@ -130,7 +141,7 @@ object PipelineQueries {
 
   /** MinHash signatures + banded LSH candidate pairs. */
   def dMinhashLsh(s: SparkSession, d: String): DataFrame =
-    lshCandidates(shingles(docs(s, d))).orderBy("da", "db")
+    lshCandidates(shinglesOf(s, d)).orderBy("da", "db")
 
   /** Dedup END-TO-END — what a training pipeline actually runs: LSH
     * candidates → exact-Jaccard verification (candidate-bounded, not
@@ -140,7 +151,7 @@ object PipelineQueries {
     * emitted — singletons are their own canonical cluster. */
   def dDedupClusters(s: SparkSession, d: String): DataFrame = {
     val dd = docs(s, d)
-    val sh = shingles(dd).localCheckpoint(true)
+    val sh = shinglesOf(s, d)
     val sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("sz"))
     val cand = lshCandidates(sh).select("da", "db")
     // exact verify, bounded by |candidates| x shingles-per-doc
@@ -218,7 +229,10 @@ object PipelineQueries {
        |FROM reach GROUP BY vid ORDER BY doc_id""".stripMargin
 
   /** 16-bit SimHash over distinct words (md5 bit sampling). */
-  def dSimhash(s: SparkSession, d: String): DataFrame = {
+  def dSimhash(s: SparkSession, d: String): DataFrame =
+    simhashCache.getOrElseUpdate((s, d), dSimhashUncached(s, d).localCheckpoint(true))
+
+  private def dSimhashUncached(s: SparkSession, d: String): DataFrame = {
     val words = docs(s, d)
       .select(F.col("doc_id"), F.explode(F.split(F.col("text"), " ")).as("word"))
       .where(F.col("word") =!= "").distinct()
@@ -266,7 +280,7 @@ object PipelineQueries {
     * values) is the shape for real corpora; this keeps the published 16-bit
     * contract. */
   def dSimhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = dSimhash(s, d).localCheckpoint(true)
+    val sh = dSimhash(s, d) // cached + checkpointed
     val nChunks = HammingMax + 1 // 4 chunks x 4 bits
     val chunkBits = SimhashBits / nChunks
     val mask = (1 << chunkBits) - 1
@@ -469,7 +483,7 @@ object PipelineQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   def dFingerprint(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(docs(s, d))
+    val sh = shinglesOf(s, d)
     val minSh = sh.groupBy("doc_id").agg(F.min(F.md5(F.col("sh"))).as("fp_min_shingle"))
     docs(s, d)
       .select(F.col("doc_id"), F.md5(F.lower(F.col("text"))).as("fp_norm"))
