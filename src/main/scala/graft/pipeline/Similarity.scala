@@ -95,6 +95,68 @@ object Similarity {
       .orderBy("qid", "rk")
   }
 
+  /** Embedding-cosine near-dup pairs — the dedup-family member that works
+    * on EMBEDDINGS instead of text: LSH-bucketed candidates over the whole
+    * corpus (Σ|bucket|², never n²), then exact cosine-threshold verify.
+    * Output: (da, db, cosine) for all pairs with cosine >= threshold. */
+  def embedNearDup(emb: DataFrame, threshold: Double,
+                   seed: Int = DefaultSeed, tables: Int = DefaultTables,
+                   planes: Int = DefaultPlanes): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val b = buckets(emb, seed, tables, planes).localCheckpoint(true)
+    val v = emb.select(F.col("vec_id"), F.col("embedding").as("v"))
+      .select(F.col("vec_id"), F.col("v"),
+        F.sqrt(F.expr("vector_dot(v, v)")).as("nrm"))
+      .localCheckpoint(true)
+    val l = b.select(F.col("vec_id").as("da"), F.col("table_id"), F.col("bucket"))
+    val r = b.select(F.col("vec_id").as("db"), F.col("table_id"), F.col("bucket"))
+    val cand = l.join(r, Seq("table_id", "bucket"))
+      .where(F.col("da") < F.col("db"))
+      .select("da", "db").distinct()
+    val scored = cand
+      .join(v.select(F.col("vec_id").as("da"), F.col("v").as("va"), F.col("nrm").as("na")), "da")
+      .join(v.select(F.col("vec_id").as("db"), F.col("v").as("vb"), F.col("nrm").as("nb")), "db")
+      .select(F.col("da"), F.col("db"),
+        F.round(F.expr("vector_dot(va, vb)") / (F.col("na") * F.col("nb")), 6).as("cosine"))
+    scored.where(F.col("cosine") >= threshold).orderBy("da", "db")
+  }
+
+  /** DuckDB oracle for [[embedNearDup]] — same hyperplane VALUES literal,
+    * whole-corpus bucket self-join, exact cosine verify. */
+  def embedNearDupSql(threshold: Double, dim: Int,
+                      seed: Int = DefaultSeed, tables: Int = DefaultTables,
+                      planes: Int = DefaultPlanes): String = {
+    val values = hyperplanes(seed, tables, planes, dim)
+      .map { case (t, p, w) => s"($t, $p, [${w.mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n    ")
+    s"""WITH hp AS MATERIALIZED (
+       |  SELECT * FROM (VALUES
+       |    $values) AS t(table_id, plane_id, w)),
+       |v AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+       |dots AS (
+       |  SELECT v.vec_id, hp.table_id, hp.plane_id,
+       |         list_sum(list_transform(range(1, len(hp.w) + 1), i -> hp.w[i] * v.v[i])) AS dot
+       |  FROM v CROSS JOIN hp),
+       |b AS MATERIALIZED (
+       |  SELECT vec_id, table_id,
+       |         CAST(sum(CASE WHEN dot > 0 THEN 1 << plane_id ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT l.vec_id AS da, r.vec_id AS db
+       |  FROM b l JOIN b r ON l.table_id = r.table_id AND l.bucket = r.bucket
+       |       AND l.vec_id < r.vec_id),
+       |scored AS (
+       |  SELECT c.da, c.db,
+       |         round(list_sum(list_transform(range(1, len(a.v) + 1),
+       |               i -> a.v[i] * z.v[i])) / (a.nrm * z.nrm), 6) AS cosine
+       |  FROM cand c JOIN n a ON a.vec_id = c.da JOIN n z ON z.vec_id = c.db)
+       |SELECT da, db, cosine FROM scored WHERE cosine >= $threshold
+       |ORDER BY da, db""".stripMargin
+  }
+
   /** DuckDB oracle for [[annLsh]]: the deterministic hyperplanes become a
     * VALUES literal, bucket assignment / multiprobe / top-k are plain SQL.
     * `dim` must match the data's embedding width (64 in the driver's

@@ -24,6 +24,10 @@ object PipelineQueries {
   // needs it at string-build time. The Spark path never uses it — it
   // derives the width from the data (Similarity.dimOf).
   val AnnDim = 64
+  // Near-random fixture embeddings: max pairwise cosine ≈ 0.5, so a "real"
+  // 0.9 dup bar would be vacuously empty. The bar is a config; the fixture
+  // value exercises the candidate->verify path with non-trivial output.
+  val EmbedDupThreshold = 0.42
 
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
@@ -630,6 +634,11 @@ object PipelineQueries {
     // oracle; recall vs brute force is additionally asserted in PipelineSpec.
     "e_ann_lsh" -> ((s: SparkSession, d: String) =>
       graft.pipeline.Similarity.annLsh(embs(s, d), AnnQueries, AnnK)),
+    // embedding-cosine near-dup: LSH-bucketed candidates over the WHOLE
+    // corpus, exact cosine verify at the threshold — the dedup-family
+    // operator for embedding columns.
+    "e_embed_neardup" -> ((s: SparkSession, d: String) =>
+      graft.pipeline.Similarity.embedNearDup(embs(s, d), EmbedDupThreshold)),
     "m_binary_meta" -> (mBinaryMeta _),
     "m_features" -> (mFeatures _)
   )
@@ -649,6 +658,7 @@ object PipelineQueries {
     "d_fingerprint" -> dFingerprintSql,
     "e_cosine_topk" -> eCosineTopkSql,
     "e_ann_lsh" -> graft.pipeline.Similarity.annLshSql(AnnQueries, AnnK, AnnDim),
+    "e_embed_neardup" -> graft.pipeline.Similarity.embedNearDupSql(EmbedDupThreshold, AnnDim),
     "m_binary_meta" -> mBinaryMetaSql,
     "m_features" -> mFeaturesSql
   )
