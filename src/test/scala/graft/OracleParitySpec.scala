@@ -51,6 +51,13 @@ class OracleParitySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("star-contraction CC labels match union-find exactly") {
+    val got = ConnectedComponents.runStar(graph)
+      .labels.orderBy("vid").as[(Long, Long)].collect().map(_._2)
+    val want = Oracles.connectedComponents(n, undirected)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("LPA labels match synchronous oracle exactly") {
     val got = LabelPropagation.run(graph, maxRounds = 10)
       .labels.orderBy("vid").as[(Long, Long)].collect().map(_._2)
