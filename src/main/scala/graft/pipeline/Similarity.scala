@@ -63,18 +63,35 @@ object Similarity {
       .agg(F.sum("bitval").cast("int").as("bucket"))
   }
 
-  /** LSH-bucketed ANN: top-k cosine among same-bucket candidates for the
-    * query set (vec_id < nQueries), with 1-bit multiprobe on the query
-    * side only (the corpus is indexed once; probing is per-query work). */
-  def annLsh(emb: DataFrame, nQueries: Int, k: Int,
-             seed: Int = DefaultSeed, tables: Int = DefaultTables,
-             planes: Int = DefaultPlanes, multiprobe: Boolean = true): DataFrame = {
+  /** The reusable part of the LSH machinery: bucket assignment + norms,
+    * both materialized once. ann top-k and embedding near-dup share it
+    * (PipelineQueries caches one per (session, dir)). */
+  final case class AnnIndex(buckets: DataFrame, norms: DataFrame, planes: Int)
+
+  def buildIndex(emb: DataFrame, seed: Int = DefaultSeed, tables: Int = DefaultTables,
+                 planes: Int = DefaultPlanes): AnnIndex = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val b = buckets(emb, seed, tables, planes).localCheckpoint(true)
     val v = emb.select(F.col("vec_id"), F.col("embedding").as("v"))
       .select(F.col("vec_id"), F.col("v"),
         F.sqrt(F.expr("vector_dot(v, v)")).as("nrm"))
       .localCheckpoint(true)
+    AnnIndex(b, v, planes)
+  }
+
+  /** LSH-bucketed ANN: top-k cosine among same-bucket candidates for the
+    * query set (vec_id < nQueries), with 1-bit multiprobe on the query
+    * side only (the corpus is indexed once; probing is per-query work). */
+  def annLsh(emb: DataFrame, nQueries: Int, k: Int,
+             seed: Int = DefaultSeed, tables: Int = DefaultTables,
+             planes: Int = DefaultPlanes, multiprobe: Boolean = true): DataFrame =
+    annLshFrom(buildIndex(emb, seed, tables, planes), nQueries, k, multiprobe)
+
+  def annLshFrom(idx: AnnIndex, nQueries: Int, k: Int,
+                 multiprobe: Boolean = true): DataFrame = {
+    val planes = idx.planes
+    val b = idx.buckets
+    val v = idx.norms
     val probeCols: Seq[org.apache.spark.sql.Column] =
       F.col("bucket") +: (if (multiprobe)
         (0 until planes).map(p => F.expr(s"bucket ^ ${1 << p}").cast("int"))
@@ -101,13 +118,12 @@ object Similarity {
     * Output: (da, db, cosine) for all pairs with cosine >= threshold. */
   def embedNearDup(emb: DataFrame, threshold: Double,
                    seed: Int = DefaultSeed, tables: Int = DefaultTables,
-                   planes: Int = DefaultPlanes): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
-    val b = buckets(emb, seed, tables, planes).localCheckpoint(true)
-    val v = emb.select(F.col("vec_id"), F.col("embedding").as("v"))
-      .select(F.col("vec_id"), F.col("v"),
-        F.sqrt(F.expr("vector_dot(v, v)")).as("nrm"))
-      .localCheckpoint(true)
+                   planes: Int = DefaultPlanes): DataFrame =
+    embedNearDupFrom(buildIndex(emb, seed, tables, planes), threshold)
+
+  def embedNearDupFrom(idx: AnnIndex, threshold: Double): DataFrame = {
+    val b = idx.buckets
+    val v = idx.norms
     val l = b.select(F.col("vec_id").as("da"), F.col("table_id"), F.col("bucket"))
     val r = b.select(F.col("vec_id").as("db"), F.col("table_id"), F.col("bucket"))
     val cand = l.join(r, Seq("table_id", "bucket"))

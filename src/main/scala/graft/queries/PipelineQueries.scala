@@ -54,6 +54,12 @@ object PipelineQueries {
   private val simhashCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  // e_ann_lsh and e_embed_neardup share one LSH index (buckets + norms).
+  private val annIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Similarity.AnnIndex]
+  private def annIndex(s: SparkSession, d: String): graft.pipeline.Similarity.AnnIndex =
+    annIndexCache.getOrElseUpdate((s, d), graft.pipeline.Similarity.buildIndex(embs(s, d)))
+
   private val shinglesSql: String =
     """w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       |idx AS (SELECT doc_id, words, unnest(range(len(words) - 2)) AS i
@@ -298,11 +304,13 @@ object PipelineQueries {
       F.col("chunk_idx"), F.col("cv"))
     val b = long.select(F.col("doc_id").as("db"), F.col("simhash16").as("hb"),
       F.col("chunk_idx"), F.col("cv"))
+    // verify BEFORE dedup: most candidates fail the Hamming bar, so the
+    // distinct sees only true pairs, not the full per-chunk fan-out
     a.join(b, Seq("chunk_idx", "cv")).where(F.col("da") < F.col("db"))
-      .select("da", "db", "ha", "hb").distinct()
       .select(F.col("da"), F.col("db"),
         F.bit_count(F.expr("ha ^ hb")).cast("int").as("hamming"))
       .where(F.col("hamming") <= HammingMax)
+      .distinct()
       .orderBy("da", "db")
   }
 
@@ -371,10 +379,10 @@ object PipelineQueries {
     val b = long.select(F.col("doc_id").as("db"), F.col("simhash64").as("hb"),
       F.col("chunk_idx"), F.col("cv"))
     a.join(b, Seq("chunk_idx", "cv")).where(F.col("da") < F.col("db"))
-      .select("da", "db", "ha", "hb").distinct()
       .select(F.col("da"), F.col("db"),
         F.bit_count(F.expr("ha ^ hb")).cast("int").as("hamming"))
       .where(F.col("hamming") <= HammingMax)
+      .distinct()
       .orderBy("da", "db")
   }
 
@@ -633,12 +641,12 @@ object PipelineQueries {
     // deterministic, so the bucket assignment + top-k has a full DuckDB
     // oracle; recall vs brute force is additionally asserted in PipelineSpec.
     "e_ann_lsh" -> ((s: SparkSession, d: String) =>
-      graft.pipeline.Similarity.annLsh(embs(s, d), AnnQueries, AnnK)),
+      graft.pipeline.Similarity.annLshFrom(annIndex(s, d), AnnQueries, AnnK)),
     // embedding-cosine near-dup: LSH-bucketed candidates over the WHOLE
     // corpus, exact cosine verify at the threshold — the dedup-family
     // operator for embedding columns.
     "e_embed_neardup" -> ((s: SparkSession, d: String) =>
-      graft.pipeline.Similarity.embedNearDup(embs(s, d), EmbedDupThreshold)),
+      graft.pipeline.Similarity.embedNearDupFrom(annIndex(s, d), EmbedDupThreshold)),
     "m_binary_meta" -> (mBinaryMeta _),
     "m_features" -> (mFeatures _)
   )
