@@ -115,10 +115,10 @@ object PageRank {
         val st = state.withColumnRenamed("vid", "src")
         val contribs =
           if (cfg.packedAdjacency)
-            em.join(st, "src")                                // no exchange
-              .select(F.explode(F.expr(
-                "zip_with(dsts, ps, (d, pp) -> struct(d AS dst, pp * rank AS c))")).as("m"))
-              .select(F.col("m.dst").as("dst"), F.col("m.c").as("c"))
+            // custom whole-operator plan (graft.plans.CsrExpand): one pass
+            // over the packed arrays, no CodegenFallback zip_with, no
+            // intermediate struct array; still narrow — no exchange
+            graft.plans.GraftPlans.expandMessages(em.join(st, "src"))
           else if (cfg.salts > 1)
             em.join(Salting.saltState(st, hot, cfg.salts, "src"),
                 Seq("src", "salt"))                           // state exchange only

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.algo.{PageRank, PageRankConfig}
+import graft.gen.TranscriptGen
+import graft.graph.GraphBuilder
+import graft.plans.GraftPlans
+import graft.scale.Csr
+
+/** The custom whole-operator plan path (LogicalPlan + Rule + Strategy +
+  * SparkPlan): CSR message expansion must be bitwise-equal to the
+  * explode(zip_with(...)) composition it replaces, plan as CsrExpandExec,
+  * prune the child join's unused columns, and keep packed PageRank equal
+  * to the plain layout. */
+class CsrExpandSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val graph = GraphBuilder.fromTranscripts(
+    TranscriptGen.transcripts(spark, nConvs = 60, seed = 42).toDF())
+
+  private def packedJoined = {
+    val ew = graph.edges.groupBy("src", "dst").agg(F.sum("weight").as("w"))
+    val wdeg = ew.groupBy("src").agg(F.sum("w").as("wdeg"))
+    val emRows = ew.join(wdeg, "src")
+      .select(F.col("src"), F.col("dst"), (F.col("w") / F.col("wdeg")).as("p"))
+    val st = graph.vertices.select(F.col("vid").as("src"),
+      (F.col("vid") * 0.001 + 0.5).as("rank")) // deterministic non-trivial state
+    Csr.packAdjacency(emRows).join(st, "src")
+  }
+
+  test("CsrExpand == explode(zip_with(...)) bitwise; plans as CsrExpandExec") {
+    val joined = packedJoined.localCheckpoint(true)
+    val got = GraftPlans.expandMessages(joined)
+      .orderBy("dst", "c").as[(Long, Double)].collect().toSeq
+    val want = joined
+      .select(F.explode(F.expr(
+        "zip_with(dsts, ps, (d, pp) -> struct(d AS dst, pp * rank AS c))")).as("m"))
+      .select(F.col("m.dst").as("dst"), F.col("m.c").as("c"))
+      .orderBy("dst", "c").as[(Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // physical rendering strips the Exec suffix — assert on the node CLASS
+    val exec = GraftPlans.expandMessages(joined).queryExecution.executedPlan
+    assert(exec.collect { case e: graft.plans.CsrExpandExec => e }.nonEmpty,
+      s"custom operator not planned:\n$exec")
+  }
+
+  test("pruning rule drops the join key under CsrExpand") {
+    val optimized = GraftPlans.expandMessages(packedJoined)
+      .queryExecution.optimizedPlan.toString
+    // the src join key feeds the join but must not survive INTO CsrExpand
+    val expandLine = optimized.linesIterator.find(_.contains("CsrExpand")).get
+    assert(!expandLine.contains("src"), s"src not pruned:\n$optimized")
+  }
+
+  test("packed PageRank through the custom operator == plain layout, 1e-9") {
+    val plain = PageRank.run(graph, PageRankConfig(fixedIters = Some(8)))
+      .ranks.orderBy("vid").as[(Long, Double)].collect().map(_._2)
+    val packed = PageRank.run(graph, PageRankConfig(fixedIters = Some(8), packedAdjacency = true))
+      .ranks.orderBy("vid").as[(Long, Double)].collect().map(_._2)
+    plain.zip(packed).foreach { case (a, b) => assert(math.abs(a - b) <= 1e-9) }
+  }
+}
