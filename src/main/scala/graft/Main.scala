@@ -56,7 +56,13 @@ object Main {
           opts.getOrElse("seed", "42").toLong).toDF())
     else sys.error(s"need --input, --events or --conv\n$usage")
 
-  def materializer(spark: SparkSession, opts: Map[String, String], table: String): Materializer =
+  /** Durable snapshots are hash-BUCKETED on the LOOP'S OWN key so a resumed
+    * round keeps the one-shuffle contract — and that key is per-algorithm:
+    * vertex-state loops (pagerank / hashmin CC / LPA) commit frames keyed by
+    * `vid`, but star CC's loop state is the contracted EDGE set (u, v).
+    * Hardcoding "vid" here crashed every durable star run (round-2 verdict). */
+  def materializer(spark: SparkSession, opts: Map[String, String], table: String,
+                   bucketCol: String = "vid"): Materializer =
     opts.get("ckpt") match {
       case Some(dir) =>
         if (!opts.contains("resume")) {
@@ -69,10 +75,8 @@ object Main {
               .iterator().asScala.foreach(java.nio.file.Files.delete)
           }
         }
-        // all iterative loops key state by vid: bucketed snapshots keep the
-        // one-shuffle contract across resume
         new CheckpointMaterializer(new ParquetManifestIO(spark, dir), table,
-          bucket = Some(("vid", spark.conf.get("spark.sql.shuffle.partitions").toInt)))
+          bucket = Some((bucketCol, spark.conf.get("spark.sql.shuffle.partitions").toInt)))
       case None => new LocalMaterializer
     }
 
@@ -114,16 +118,17 @@ object Main {
         val star = opts.getOrElse("algo", "hashmin") == "star"
         val r =
           if (star) ConnectedComponents.runStar(graph,
-            opts.getOrElse("max-rounds", "60").toInt, materializer(spark, opts, "cc"))
+            opts.getOrElse("max-rounds", "60").toInt,
+            materializer(spark, opts, "cc", bucketCol = "u")) // edge-set state
           else ConnectedComponents.run(graph,
             opts.getOrElse("max-rounds", "200").toInt, materializer(spark, opts, "cc"))
         write(r.labels.orderBy("vid"), "labels")
-        println(s"""{"cmd":"cc","algo":"${if (star) "star" else "hashmin"}","rounds":${r.rounds},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+        println(s"""{"cmd":"cc","algo":"${if (star) "star" else "hashmin"}","rounds":${r.rounds},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "lpa" =>
         val r = LabelPropagation.run(graph,
           opts.getOrElse("rounds", "10").toInt, materializer(spark, opts, "lpa"))
         write(r.labels.orderBy("vid"), "labels")
-        println(s"""{"cmd":"lpa","rounds":${r.rounds},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+        println(s"""{"cmd":"lpa","rounds":${r.rounds},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "triangles" =>
         val r = Triangles.run(graph)
         write(r.perVertex.orderBy("vid"), "triangles")

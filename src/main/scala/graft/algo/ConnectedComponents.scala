@@ -22,6 +22,8 @@ import graft.graph.LinkGraph
 final case class CcResult(
     labels: DataFrame, // (vid: long, label: long)
     rounds: Int,
+    converged: Boolean, // false ⇒ maxRounds hit before the fixpoint: labels
+                        // may not be component minima (esp. star contraction)
     metricsLog: Seq[Map[String, Any]])
 
 object ConnectedComponents {
@@ -65,7 +67,7 @@ object ConnectedComponents {
           "wall_ms" -> (System.nanoTime() - t0) / 1000000L))
         state = committed.select("vid", "label")
       }
-      val out = CcResult(state, round, mat.log)
+      val out = CcResult(state, round, converged = changed == 0L, mat.log)
       mat.close()
       out
     }
@@ -89,13 +91,21 @@ object ConnectedComponents {
   def runStar(graph: LinkGraph, maxRounds: Int = 60,
               mat: Materializer = new LocalMaterializer): CcResult =
     IterativeConf(graph.spark) {
-      val init = graph.edges.select(
-          F.greatest(F.col("src"), F.col("dst")).as("u"),
-          F.least(F.col("src"), F.col("dst")).as("v"))
-        .where(F.col("u") =!= F.col("v")).distinct()
-      var e = mat.iter(0, init.repartition(F.col("u")), Map("init" -> true))
+      // This loop's durable state is the contracted EDGE set (u, v) — NOT a
+      // per-vertex frame — so a CheckpointMaterializer must bucket on "u"
+      // (Main picks the bucket key per algorithm; round-2 verdict bug).
+      val (startRound, e0) = mat.resume() match {
+        case Some((k, df)) => (k, df.select("u", "v"))
+        case None =>
+          val init = graph.edges.select(
+              F.greatest(F.col("src"), F.col("dst")).as("u"),
+              F.least(F.col("src"), F.col("dst")).as("v"))
+            .where(F.col("u") =!= F.col("v")).distinct()
+          (0, mat.iter(0, init.repartition(F.col("u")), Map("init" -> true)))
+      }
+      var e = e0
       var prevCnt = e.count()
-      var round = 0
+      var round = startRound
       var changed = -1L
       while (changed != 0L && round < maxRounds && prevCnt > 0) {
         round += 1
@@ -125,10 +135,15 @@ object ConnectedComponents {
         e = committed
       }
       // star edges point member -> center; centers/isolated label themselves
+      val converged = changed == 0L || prevCnt == 0
+      if (!converged)
+        Console.err.println(s"[graft] star CC hit maxRounds=$maxRounds before " +
+          "the star fixpoint: labels below may not be component minima " +
+          "(CcResult.converged = false)")
       val labels = graph.vertices
         .join(e.groupBy(F.col("u").as("vid")).agg(F.min("v").as("lbl")), Seq("vid"), "left")
         .select(F.col("vid"), F.coalesce(F.col("lbl"), F.col("vid")).as("label"))
-      val out = CcResult(labels, round, mat.log)
+      val out = CcResult(labels, round, converged, mat.log)
       mat.close()
       out
     }

@@ -19,6 +19,8 @@ import graft.graph.LinkGraph
 final case class LpaResult(
     labels: DataFrame, // (vid: long, label: long)
     rounds: Int,
+    converged: Boolean, // true iff a round saw zero label changes (LPA also
+                        // legitimately stops at maxRounds — the classic cap)
     metricsLog: Seq[Map[String, Any]])
 
 object LabelPropagation {
@@ -70,7 +72,7 @@ object LabelPropagation {
           "wall_ms" -> (System.nanoTime() - t0) / 1000000L))
         state = committed.select("vid", "label")
       }
-      val out = LpaResult(state, round, mat.log)
+      val out = LpaResult(state, round, converged = changed == 0L, mat.log)
       mat.close()
       out
     }
