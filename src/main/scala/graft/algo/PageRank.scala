@@ -23,7 +23,9 @@ import graft.scale.{Csr, Salting}
   *
   *  - plain rows (default): edge-level shuffled-hash join
   *  - `packedAdjacency`: vertex-major CSR arrays (Csr.packAdjacency) — the
-  *    join touches one row per vertex; expansion is explode(zip_with(...))
+  *    join touches one row per vertex SEGMENT (hubs split at packedSegment
+  *    neighbors/row, so no task owns a whole mega-hub); expansion is the
+  *    CsrExpand custom operator
   *  - `salts > 1`: explicit hot-key salting (Salting) — hub srcs' edges
   *    spread over S buckets, only hot state rows replicated
   */
@@ -34,11 +36,17 @@ final case class PageRankConfig(
     fixedIters: Option[Int] = None,
     weighted: Boolean = true,
     packedAdjacency: Boolean = false,
+    packedSegment: Int = graft.scale.Csr.DefaultSegment,
     salts: Int = 1,
     hotQuantile: Double = 0.999,
     hotMinDegree: Double = 64.0) {
+  // One skew mechanism per layout: the packed path bounds per-row (and
+  // per-task) work by HUB-SPLITTING — a degree-d vertex packs into
+  // ⌈d/packedSegment⌉ bounded segment rows (Csr.packAdjacency) — so salting,
+  // which replicates state rows to spread a hot key's EDGE ROWS, has nothing
+  // left to fix there and would only double-replicate.
   require(salts == 1 || !packedAdjacency,
-    "salting applies to the row-level edge layout; packed adjacency already collapses hubs to one row")
+    "salting applies to the row-level edge layout; the packed layout tames hubs via packedSegment splitting")
 }
 
 final case class PageRankResult(
@@ -84,7 +92,8 @@ object PageRank {
       // Edge layout materialization, partitioned on the join key.
       val em =
         if (cfg.packedAdjacency)
-          mat.shared("em_packed", Csr.packAdjacency(emRows).repartition(F.col("src")))
+          mat.shared("em_packed",
+            Csr.packAdjacency(emRows, cfg.packedSegment).repartition(F.col("src")))
         else if (cfg.salts > 1)
           mat.shared("em_salted",
             Salting.saltEdges(emRows, hot, cfg.salts)

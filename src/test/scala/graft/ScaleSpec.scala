@@ -43,6 +43,44 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("hub splitting: a mega-hub packs into ceil(deg/K) bounded segment rows; parity holds") {
+    import graft.graph.LinkGraph
+    // hub 0 → 1..200 (degree 200) grafted onto a 200-chain: forces the
+    // power-law shape packAdjacency must bound
+    val hubDeg = 200
+    val K = 16
+    val edges = ((1 to hubDeg).map(i => (0L, i.toLong)) ++
+      (1 until hubDeg).map(i => (i.toLong, i.toLong + 1)))
+      .toDF("src", "dst")
+      .select(F.col("src"), F.col("dst"), F.lit(1).as("kind"), F.lit(1.0).as("weight"))
+    val dict = (0 to hubDeg).map(_.toLong).toDF("vid")
+      .select(F.col("vid").cast("string").as("key"), F.col("vid"))
+    val g = LinkGraph(edges, dict)
+
+    val em = g.edges.select(F.col("src"), F.col("dst"), (F.col("weight") / 1.0).as("p"))
+    val packed = Csr.packAdjacency(em, maxSegment = K)
+    val hubRows = packed.where(F.col("src") === 0L)
+      .select(F.col("dsts")).as[Seq[Long]].collect()
+    assert(hubRows.length == (hubDeg + K - 1) / K,
+      s"hub must split into ceil($hubDeg/$K) rows, got ${hubRows.length}")
+    assert(hubRows.forall(_.size <= K), "no segment may exceed the cap")
+    assert(hubRows.flatten.sorted.toSeq == (1 to hubDeg).map(_.toLong),
+      "segments must be disjoint and cover the full neighbor set")
+    // non-hub vertices stay single-row
+    assert(packed.groupBy("src").count().where(F.col("count") > 1)
+      .select("src").as[Long].collect().toSeq == Seq(0L))
+
+    // and the split layout computes the same ranks as the plain one
+    val plain = PageRank.run(g, PageRankConfig(tol = 1e-8))
+      .ranks.orderBy("vid").as[(Long, Double)].collect().map(_._2)
+    val split = PageRank.run(g, PageRankConfig(tol = 1e-8,
+      packedAdjacency = true, packedSegment = K))
+      .ranks.orderBy("vid").as[(Long, Double)].collect().map(_._2)
+    plain.zip(split).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-9, s"$a vs $b")
+    }
+  }
+
   test("salted PageRank == plain PageRank (1e-9), with real hot keys") {
     // force salting to actually engage on this small graph
     val salted = PageRank.run(graph, PageRankConfig(tol = 1e-8, salts = 4,
