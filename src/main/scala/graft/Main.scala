@@ -43,7 +43,8 @@ object Main {
     """usage: graft.Main <pagerank|cc|lpa|triangles> [--input P|--events P|--conv N]
       |  [--seed 42] [--out DIR] [--ckpt DIR] [--resume] [--tol 1e-6]
       |  [--damping 0.85] [--max-iters 100] [--rounds 10] [--local N]
-      |  [--algo hashmin|star]  (cc only)""".stripMargin
+      |  [--algo hashmin|star]  (cc only)
+      |  [--packed]  (pagerank|cc|lpa: hub-split CSR layout + CsrExpand operator)""".stripMargin
 
   def loadGraph(spark: SparkSession, opts: Map[String, String]): LinkGraph =
     if (opts.contains("input"))
@@ -107,7 +108,8 @@ object Main {
           PageRankConfig(
             damping = opts.getOrElse("damping", "0.85").toDouble,
             tol = opts.getOrElse("tol", "1e-6").toDouble,
-            maxIters = opts.getOrElse("max-iters", "100").toInt),
+            maxIters = opts.getOrElse("max-iters", "100").toInt,
+            packedAdjacency = opts.contains("packed")),
           materializer(spark, opts, "pagerank"))
         write(r.ranks.orderBy(F.col("rank").desc, F.col("vid")), "ranks")
         println(s"""{"cmd":"pagerank","iterations":${r.iterations},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
@@ -121,12 +123,14 @@ object Main {
             opts.getOrElse("max-rounds", "60").toInt,
             materializer(spark, opts, "cc", bucketCol = "u")) // edge-set state
           else ConnectedComponents.run(graph,
-            opts.getOrElse("max-rounds", "200").toInt, materializer(spark, opts, "cc"))
+            opts.getOrElse("max-rounds", "200").toInt, materializer(spark, opts, "cc"),
+            packedAdjacency = opts.contains("packed"))
         write(r.labels.orderBy("vid"), "labels")
         println(s"""{"cmd":"cc","algo":"${if (star) "star" else "hashmin"}","rounds":${r.rounds},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "lpa" =>
         val r = LabelPropagation.run(graph,
-          opts.getOrElse("rounds", "10").toInt, materializer(spark, opts, "lpa"))
+          opts.getOrElse("rounds", "10").toInt, materializer(spark, opts, "lpa"),
+          packedAdjacency = opts.contains("packed"))
         write(r.labels.orderBy("vid"), "labels")
         println(s"""{"cmd":"lpa","rounds":${r.rounds},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "triangles" =>

@@ -28,10 +28,23 @@ final case class CcResult(
 
 object ConnectedComponents {
 
+  /** `packedAdjacency`: consume the symmetrized edges as hub-split
+    * vertex-major arrays (Csr.packAdjacencyKeys) and expand the per-round
+    * label messages through the CsrExpand custom operator (CopyLabel mode)
+    * instead of the row-level join — identical labels, one row per vertex
+    * segment on the join's probe side. */
   def run(graph: LinkGraph, maxRounds: Int = 200,
-          mat: Materializer = new LocalMaterializer): CcResult =
-    IterativeConf(graph.spark) {
-      val sym = mat.shared("sym", graph.symmetrized.repartition(F.col("src")))
+          mat: Materializer = new LocalMaterializer,
+          packedAdjacency: Boolean = false,
+          packedSegment: Int = graft.scale.Csr.DefaultSegment): CcResult =
+    IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
+      IterativeConf.adaptivePartitions(graph.spark, graph.numVertices)))) {
+      val sym =
+        if (packedAdjacency)
+          mat.shared("sym_packed", graft.scale.Csr
+            .packAdjacencyKeys(graph.symmetrized, packedSegment)
+            .repartition(F.col("src")))
+        else mat.shared("sym", graph.symmetrized.repartition(F.col("src")))
 
       val (startIter, st0) = mat.resume() match {
         case Some((k, df)) => (k, df.select("vid", "label"))
@@ -48,8 +61,11 @@ object ConnectedComponents {
       while (changed != 0L && round < maxRounds) {
         round += 1
         val t0 = System.nanoTime()
-        val msgs = sym
-          .join(state.withColumnRenamed("vid", "src"), "src") // no exchange
+        val joined = sym.join(state.withColumnRenamed("vid", "src"), "src") // no exchange
+        val flat =
+          if (packedAdjacency) graft.plans.GraftPlans.expandLabels(joined)
+          else joined.select(F.col("dst"), F.col("label"))
+        val msgs = flat
           .groupBy("dst")                                     // THE shuffle
           .agg(F.min("label").as("nbr_min"))
           .withColumnRenamed("dst", "vid")
@@ -90,7 +106,11 @@ object ConnectedComponents {
     * factor above HashMin's single shuffle, paid back logarithmically. */
   def runStar(graph: LinkGraph, maxRounds: Int = 60,
               mat: Materializer = new LocalMaterializer): CcResult =
-    IterativeConf(graph.spark) {
+    // width proxy: the contracted edge set starts at O(edges) but vertices
+    // bound its fixpoint size; symmetrized edges/vertex is small on link
+    // graphs, so vertex count is the stable sizing signal here too
+    IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
+      IterativeConf.adaptivePartitions(graph.spark, graph.numVertices)))) {
       // This loop's durable state is the contracted EDGE set (u, v) — NOT a
       // per-vertex frame — so a CheckpointMaterializer must bucket on "u"
       // (Main picks the bucket key per algorithm; round-2 verdict bug).

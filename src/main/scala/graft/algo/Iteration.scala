@@ -16,6 +16,11 @@ import graft.io.TableIO
   * Previous iterations' blocks are freed as the loop advances.
   */
 sealed trait Materializer {
+  /** Partition count the loop should run at, when this backend has an
+    * opinion (a bucketed durable checkpoint must keep the loop at its
+    * bucket count so the resumed scan's HashPartitioning matches). None ⇒
+    * the loop may pick adaptively. */
+  def loopPartitions: Option[Int] = None
   /** Materialize iteration `iter`'s state; returns the truncated frame. */
   def iter(iter: Int, df: DataFrame, meta: Map[String, Any]): DataFrame
   /** Materialize a loop-invariant dataset (normalized edges, vertex meta).
@@ -104,6 +109,7 @@ final class CheckpointMaterializer(io: TableIO, val stateTable: String,
   override def note(iter: Int, meta: Map[String, Any]): Unit =
     io.note(stateTable, iter, meta)
   override def log: Seq[Map[String, Any]] = io.commitLog(stateTable)
+  override def loopPartitions: Option[Int] = bucket.map(_._2)
 }
 
 /** Iterative-loop session tuning: AQE re-plans per materialization and
@@ -111,15 +117,36 @@ final class CheckpointMaterializer(io: TableIO, val stateTable: String,
   * contract and adds per-job planning latency — worth it for one big query,
   * wrong for a 100-round loop. Sort-merge join would re-sort both sides
   * every round; shuffled-hash join keys on the already-aligned hash
-  * partitioning. Restores previous conf on exit. */
+  * partitioning. Optionally pins `spark.sql.shuffle.partitions` for the
+  * loop (the ADAPTIVE LOOP WIDTH below). Restores previous conf on exit. */
 object IterativeConf {
-  def apply[T](spark: SparkSession)(body: => T): T = {
+
+  /** How many vertices one loop shuffle partition comfortably holds: the
+    * per-round fixed cost (task scheduling + codegen dispatch + one
+    * materialize action) is paid PER PARTITION, so a 500-vertex dedup graph
+    * looping at P=32 pays 32× scheduling for ~16 rows of work per task.
+    * 64k longs+doubles per partition is still far below executor memory. */
+  val RowsPerPartition = 65536L
+
+  /** P' = clamp(ceil(rows / 64k), 1, session P): tiny states collapse to a
+    * handful of tasks per round; at web scale rows/64k ≥ P so the session's
+    * width is kept. Everything inside the loop (state repartitions, shared
+    * edge invariants, the message groupBy) uses ONE consistent width, so
+    * the one-shuffle-per-round contract is preserved — just narrower. */
+  def adaptivePartitions(spark: SparkSession, stateRows: Long): Int = {
+    val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(p.toLong, (stateRows + RowsPerPartition - 1) / RowsPerPartition)).toInt
+  }
+
+  def apply[T](spark: SparkSession, loopPartitions: Option[Int] = None)(body: => T): T = {
     val conf = spark.conf
     val saved = Seq(
       "spark.sql.adaptive.enabled",
-      "spark.sql.join.preferSortMergeJoin").map(k => k -> conf.getOption(k))
+      "spark.sql.join.preferSortMergeJoin",
+      "spark.sql.shuffle.partitions").map(k => k -> conf.getOption(k))
     conf.set("spark.sql.adaptive.enabled", "false")
     conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    loopPartitions.foreach(p => conf.set("spark.sql.shuffle.partitions", p.toString))
     try body
     finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)

@@ -25,10 +25,20 @@ final case class LpaResult(
 
 object LabelPropagation {
 
+  /** `packedAdjacency`: hub-split vertex-major arrays + CsrExpand CopyLabel
+    * expansion (see ConnectedComponents.run) — identical labels. */
   def run(graph: LinkGraph, maxRounds: Int = 10,
-          mat: Materializer = new LocalMaterializer): LpaResult =
-    IterativeConf(graph.spark) {
-      val sym = mat.shared("sym", graph.symmetrized.repartition(F.col("src")))
+          mat: Materializer = new LocalMaterializer,
+          packedAdjacency: Boolean = false,
+          packedSegment: Int = graft.scale.Csr.DefaultSegment): LpaResult =
+    IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
+      IterativeConf.adaptivePartitions(graph.spark, graph.numVertices)))) {
+      val sym =
+        if (packedAdjacency)
+          mat.shared("sym_packed", graft.scale.Csr
+            .packAdjacencyKeys(graph.symmetrized, packedSegment)
+            .repartition(F.col("src")))
+        else mat.shared("sym", graph.symmetrized.repartition(F.col("src")))
 
       val (startIter, st0) = mat.resume() match {
         case Some((k, df)) => (k, df.select("vid", "label"))
@@ -49,8 +59,11 @@ object LabelPropagation {
         // Explicit dst-clustered exchange: HashPartitioning(dst) satisfies
         // BOTH groupBy(dst,label) and groupBy(dst), so the round pays one
         // shuffle, not two.
-        val counts = sym
-          .join(state.withColumnRenamed("vid", "src"), "src") // no exchange
+        val joined = sym.join(state.withColumnRenamed("vid", "src"), "src") // no exchange
+        val flat =
+          if (packedAdjacency) graft.plans.GraftPlans.expandLabels(joined)
+          else joined.select(F.col("dst"), F.col("label"))
+        val counts = flat
           .repartition(F.col("dst"))                          // THE shuffle
           .groupBy("dst", "label")
           .agg(F.count(F.lit(1)).as("cnt"))

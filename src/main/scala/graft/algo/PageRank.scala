@@ -59,7 +59,8 @@ object PageRank {
 
   def run(graph: LinkGraph, cfg: PageRankConfig = PageRankConfig(),
           mat: Materializer = new LocalMaterializer): PageRankResult =
-    IterativeConf(graph.spark) {
+    IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
+      IterativeConf.adaptivePartitions(graph.spark, graph.numVertices)))) {
       val d = cfg.damping
       val n = graph.numVertices.toDouble
 

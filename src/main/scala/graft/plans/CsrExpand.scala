@@ -29,14 +29,32 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * contract is untouched: em⋈state needs no exchange, expansion is local,
   * the message groupBy stays the round's only shuffle.
   */
-case class CsrExpand(child: LogicalPlan, override val output: Seq[Attribute])
-    extends UnaryNode {
+/** What each packed row expands to. One operator, two message kernels:
+  * PageRank needs a weighted product per neighbor; CC/LPA need the plain
+  * label copied to every neighbor. */
+sealed trait CsrExpandMode extends Serializable {
+  /** Child columns the kernel consumes (everything else is prunable). */
+  def needed: Set[String]
+}
+object CsrExpandMode {
+  /** (dsts, ps, rank) → (dst: long, c = p·rank: double) — PageRank gather. */
+  case object MulRank extends CsrExpandMode {
+    val needed: Set[String] = Set("dsts", "ps", "rank")
+  }
+  /** (dsts, label) → (dst: long, label: long) — CC min / LPA count gather. */
+  case object CopyLabel extends CsrExpandMode {
+    val needed: Set[String] = Set("dsts", "label")
+  }
+}
 
-  /** The three child columns the operator consumes — declared so the
-    * optimizer (incl. [[CsrExpandPruning]]) sees real references and never
-    * prunes them away under the node. */
+case class CsrExpand(child: LogicalPlan, override val output: Seq[Attribute],
+                     mode: CsrExpandMode) extends UnaryNode {
+
+  /** The child columns the operator consumes — declared so the optimizer
+    * (incl. [[CsrExpandPruning]]) sees real references and never prunes
+    * them away under the node. */
   @transient override lazy val references: AttributeSet =
-    AttributeSet(child.output.filter(a => CsrExpand.Needed(a.name)))
+    AttributeSet(child.output.filter(a => mode.needed(a.name)))
 
   override def producedAttributes: AttributeSet = AttributeSet(output)
 
@@ -45,47 +63,70 @@ case class CsrExpand(child: LogicalPlan, override val output: Seq[Attribute])
 }
 
 object CsrExpand {
-  val Needed: Set[String] = Set("dsts", "ps", "rank")
-
   /** Output attributes are minted ONCE here; `copy` during plan transforms
     * must keep the same expression ids or parent references break. */
-  def apply(child: LogicalPlan): CsrExpand = new CsrExpand(child, Seq(
-    AttributeReference("dst", LongType, nullable = false)(),
-    AttributeReference("c", DoubleType, nullable = false)()))
+  def apply(child: LogicalPlan, mode: CsrExpandMode = CsrExpandMode.MulRank): CsrExpand =
+    mode match {
+      case CsrExpandMode.MulRank => new CsrExpand(child, Seq(
+        AttributeReference("dst", LongType, nullable = false)(),
+        AttributeReference("c", DoubleType, nullable = false)()), mode)
+      case CsrExpandMode.CopyLabel => new CsrExpand(child, Seq(
+        AttributeReference("dst", LongType, nullable = false)(),
+        AttributeReference("label", LongType, nullable = false)()), mode)
+    }
 }
 
 /** Physical operator: one pass over (dsts, ps, rank), messages written into
   * a reused UnsafeRow (safe: consumers process a row before pulling the
   * next — the same contract codegen'd operators rely on). */
-case class CsrExpandExec(override val output: Seq[Attribute], child: SparkPlan)
-    extends UnaryExecNode {
+case class CsrExpandExec(override val output: Seq[Attribute], child: SparkPlan,
+                         mode: CsrExpandMode) extends UnaryExecNode {
 
   // the output attrs are minted by this node, not consumed from the child —
   // without this, QueryPlan counts the constructor's Seq[Attribute] as
   // references and renders the node with the missing-input "!" marker
   override def producedAttributes: AttributeSet = AttributeSet(output)
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    val dstsIdx = child.output.indexWhere(_.name == "dsts")
-    val psIdx = child.output.indexWhere(_.name == "ps")
-    val rankIdx = child.output.indexWhere(_.name == "rank")
-    require(dstsIdx >= 0 && psIdx >= 0 && rankIdx >= 0,
-      s"CsrExpandExec needs dsts/ps/rank in child output, got ${child.output.map(_.name)}")
-    child.execute().mapPartitions({ it =>
-      val writer = new UnsafeRowWriter(2)
-      it.flatMap { row =>
-        val dsts = row.getArray(dstsIdx)
-        val ps = row.getArray(psIdx)
-        val rank = row.getDouble(rankIdx)
-        val n = math.min(dsts.numElements(), ps.numElements())
-        (0 until n).iterator.map { i =>
-          writer.reset()
-          writer.write(0, dsts.getLong(i))
-          writer.write(1, ps.getDouble(i) * rank)
-          writer.getRow
+  private def idxOf(name: String): Int = {
+    val i = child.output.indexWhere(_.name == name)
+    require(i >= 0,
+      s"CsrExpandExec($mode) needs '$name' in child output, got ${child.output.map(_.name)}")
+    i
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = mode match {
+    case CsrExpandMode.MulRank =>
+      val dstsIdx = idxOf("dsts"); val psIdx = idxOf("ps"); val rankIdx = idxOf("rank")
+      child.execute().mapPartitions({ it =>
+        val writer = new UnsafeRowWriter(2)
+        it.flatMap { row =>
+          val dsts = row.getArray(dstsIdx)
+          val ps = row.getArray(psIdx)
+          val rank = row.getDouble(rankIdx)
+          val n = math.min(dsts.numElements(), ps.numElements())
+          (0 until n).iterator.map { i =>
+            writer.reset()
+            writer.write(0, dsts.getLong(i))
+            writer.write(1, ps.getDouble(i) * rank)
+            writer.getRow
+          }
         }
-      }
-    }, preservesPartitioning = false)
+      }, preservesPartitioning = false)
+    case CsrExpandMode.CopyLabel =>
+      val dstsIdx = idxOf("dsts"); val labelIdx = idxOf("label")
+      child.execute().mapPartitions({ it =>
+        val writer = new UnsafeRowWriter(2)
+        it.flatMap { row =>
+          val dsts = row.getArray(dstsIdx)
+          val label = row.getLong(labelIdx)
+          (0 until dsts.numElements()).iterator.map { i =>
+            writer.reset()
+            writer.write(0, dsts.getLong(i))
+            writer.write(1, label)
+            writer.getRow
+          }
+        }
+      }, preservesPartitioning = false)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): CsrExpandExec =
@@ -95,7 +136,7 @@ case class CsrExpandExec(override val output: Seq[Attribute], child: SparkPlan)
 /** Plans [[CsrExpand]] → [[CsrExpandExec]]. */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case CsrExpand(child, output) => CsrExpandExec(output, planLater(child)) :: Nil
+    case CsrExpand(child, output, mode) => CsrExpandExec(output, planLater(child), mode) :: Nil
     case _ => Nil
   }
 }
@@ -105,7 +146,7 @@ object GraftStrategy extends SparkStrategy {
   * the join key) just to have CsrExpand ignore it. */
 object CsrExpandPruning extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case e @ CsrExpand(child, _) if child.output.size > e.references.size =>
+    case e @ CsrExpand(child, _, _) if child.output.size > e.references.size =>
       e.copy(child = Project(child.output.filter(e.references.contains), child))
   }
 }
@@ -130,10 +171,19 @@ object GraftPlans {
   }
 
   /** `joined` must carry dsts/ps/rank (packed adjacency ⋈ state); returns
-    * the (dst, c) message stream via the custom operator. */
+    * the (dst, c = p·rank) message stream via the custom operator. */
   def expandMessages(joined: DataFrame): DataFrame = {
     install(joined.sparkSession)
     org.apache.spark.sql.graft.PlanBridge.ofRows(
       joined.sparkSession, CsrExpand(joined.queryExecution.analyzed))
+  }
+
+  /** `joined` must carry dsts/label (packed adjacency ⋈ label state);
+    * returns the (dst, label) message stream — the CC/LPA gather input. */
+  def expandLabels(joined: DataFrame): DataFrame = {
+    install(joined.sparkSession)
+    org.apache.spark.sql.graft.PlanBridge.ofRows(
+      joined.sparkSession,
+      CsrExpand(joined.queryExecution.analyzed, CsrExpandMode.CopyLabel))
   }
 }

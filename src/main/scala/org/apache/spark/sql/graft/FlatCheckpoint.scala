@@ -3,6 +3,7 @@ package org.apache.spark.sql.graft
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection, UnknownPartitioning}
 import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
 import org.apache.spark.sql.execution.LogicalRDD
@@ -39,19 +40,37 @@ object FlatCheckpoint {
     val logical = LogicalRDD(
       qe.analyzed.output,
       internal,
-      firstLeafPartitioning(physical.outputPartitioning),
+      pickPartitioning(physical.outputPartitioning, qe.analyzed.output),
       physical.outputOrdering,
       isStreaming = false,
       stream = None)(session, None, None)
     CDataset.ofRows(session, logical)
   }
 
-  /** Mirrors Spark's own Dataset.checkpoint normalization: a join's
-    * PartitioningCollection must collapse to one concrete partitioning. */
-  private def firstLeafPartitioning(p: Partitioning): Partitioning = p match {
-    case c: PartitioningCollection =>
-      c.partitionings.map(firstLeafPartitioning).headOption
-        .getOrElse(UnknownPartitioning(c.numPartitions))
-    case other => other
-  }
+  /** Mirrors Spark's own Dataset.checkpoint normalization — a
+    * PartitioningCollection must collapse to ONE concrete partitioning —
+    * but picks the member whose referenced columns appear EARLIEST in the
+    * output instead of blindly the first. Alias-aware projections list
+    * alias candidates first: an init frame `select(vid, vid AS label,
+    * vid AS prev)` reports (prev | label | vid), and a head-pick keeps
+    * `prev` — which the next round's `select(vid, label)` drops, silently
+    * discarding the partitioning and buying an extra state exchange in
+    * round 1 of every cold-started loop. The loop key (vid/src/u) is by
+    * convention the first output column, so earliest-column wins. */
+  private def pickPartitioning(p: Partitioning, output: Seq[Attribute]): Partitioning =
+    p match {
+      case c: PartitioningCollection =>
+        def score(m: Partitioning): Int = m match {
+          case e: Expression =>
+            val idxs = e.references.toSeq.map(a => output.indexWhere(_.exprId == a.exprId))
+            if (idxs.isEmpty) 0
+            else if (idxs.exists(_ < 0)) Int.MaxValue // refs not in output: useless downstream
+            else idxs.max
+          case _ => 0
+        }
+        c.partitionings.map(pickPartitioning(_, output))
+          .sortBy(score).headOption // stable sort: ties keep Spark's order
+          .getOrElse(UnknownPartitioning(c.numPartitions))
+      case other => other
+    }
 }

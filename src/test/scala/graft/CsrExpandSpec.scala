@@ -53,6 +53,39 @@ class CsrExpandSpec extends SparkSpec {
     assert(!expandLine.contains("src"), s"src not pruned:\n$optimized")
   }
 
+  test("CopyLabel mode == explode(dsts) bitwise; plans as CsrExpandExec") {
+    val packed = Csr.packAdjacencyKeys(graph.symmetrized)
+    val st = graph.vertices.select(F.col("vid").as("src"), (F.col("vid") * 3 + 1).as("label"))
+    val joined = packed.join(st, "src").localCheckpoint(true)
+    val got = GraftPlans.expandLabels(joined)
+      .orderBy("dst", "label").as[(Long, Long)].collect().toSeq
+    val want = joined.select(F.explode(F.col("dsts")).as("dst"), F.col("label"))
+      .orderBy("dst", "label").as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got == want)
+    val exec = GraftPlans.expandLabels(joined).queryExecution.executedPlan
+    assert(exec.collect {
+      case e: graft.plans.CsrExpandExec if e.mode == graft.plans.CsrExpandMode.CopyLabel => e
+    }.nonEmpty, s"CopyLabel operator not planned:\n$exec")
+  }
+
+  test("packed CC == row-path CC exactly (hub-split segments)") {
+    val row = graft.algo.ConnectedComponents.run(graph)
+      .labels.orderBy("vid").as[(Long, Long)].collect().toSeq
+    val packed = graft.algo.ConnectedComponents.run(graph,
+      packedAdjacency = true, packedSegment = 8) // force splitting
+      .labels.orderBy("vid").as[(Long, Long)].collect().toSeq
+    assert(row == packed)
+  }
+
+  test("packed LPA == row-path LPA exactly (hub-split segments)") {
+    val row = graft.algo.LabelPropagation.run(graph, maxRounds = 5)
+      .labels.orderBy("vid").as[(Long, Long)].collect().toSeq
+    val packed = graft.algo.LabelPropagation.run(graph, maxRounds = 5,
+      packedAdjacency = true, packedSegment = 8)
+      .labels.orderBy("vid").as[(Long, Long)].collect().toSeq
+    assert(row == packed)
+  }
+
   test("packed PageRank through the custom operator == plain layout, 1e-9") {
     val plain = PageRank.run(graph, PageRankConfig(fixedIters = Some(8)))
       .ranks.orderBy("vid").as[(Long, Double)].collect().map(_._2)

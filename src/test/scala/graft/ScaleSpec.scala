@@ -106,6 +106,39 @@ class ScaleSpec extends SparkSpec {
     assert(plainJoin == saltedJoin)
   }
 
+  test("adaptive loop width: tiny states loop narrow; one shuffle per round at the narrow width") {
+    val P = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(IterativeConf.adaptivePartitions(spark, 1L) == 1)
+    assert(IterativeConf.adaptivePartitions(spark, IterativeConf.RowsPerPartition) == 1)
+    assert(IterativeConf.adaptivePartitions(spark, IterativeConf.RowsPerPartition + 1) == 2)
+    assert(IterativeConf.adaptivePartitions(spark, Long.MaxValue / 4) == P,
+      "web-scale states must keep the session width")
+
+    // a round planned at the adaptive width still pays exactly one exchange,
+    // and that exchange is at the NARROW width (the d_dedup_clusters fix:
+    // the CC fixpoint on a tiny dup graph must not pay P-wide scheduling)
+    IterativeConf(spark, Some(2)) {
+      val sym = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(
+        graph.symmetrized.repartition(F.col("src")))
+      // deliberately the REAL init shape (label/prev are bare aliases of the
+      // partition key): FlatCheckpoint must collapse the alias
+      // PartitioningCollection onto the SURVIVING loop key (vid), not onto
+      // an alias the next round drops — pins the round-1 extra-shuffle fix
+      val state = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(
+        graph.vertices.repartition(F.col("vid"))
+          .select(F.col("vid"), F.col("vid").as("label"), F.col("vid").as("prev")))
+        .select("vid", "label")
+      val msgs = sym.join(state.withColumnRenamed("vid", "src"), "src")
+        .groupBy("dst").agg(F.min("label").as("nbr_min"))
+      val plan = msgs.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning\\([^)]*\\)".r.findAllIn(plan).toSeq
+      assert(exchanges.length == 1, s"expected 1 shuffle, got $exchanges in:\n$plan")
+      assert(exchanges.head.endsWith(", 2)"),
+        s"the round's shuffle must run at the loop width 2: ${exchanges.head}")
+      assert(state.rdd.getNumPartitions == 2)
+    }
+  }
+
   test("iteration plan shape: exactly ONE shuffle exchange per round") {
     IterativeConf(spark) {
       val ew = graph.edges.groupBy("src", "dst")
