@@ -38,6 +38,9 @@ object GraphQueries {
   // The result frame is checkpoint-backed, so caching it is safe.
   private val rankCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  graft.Caches.register(() => cache.clear())
+  graft.Caches.register(() => rankCache.clear())
+
   def pageRanks(spark: SparkSession, dir: String): DataFrame =
     rankCache.getOrElseUpdate((spark, dir),
       PageRank.run(graph(spark, dir),

@@ -54,4 +54,33 @@ class PipelineSpec extends SparkSpec {
     // about 2x the candidate fraction, the ceiling for unclustered data.
     assert(recall >= 0.2, s"recall $recall suspiciously low")
   }
+
+  test("LSH planes derive from corpus size; buckets actually refine") {
+    // formula: planes = max(8, ceil(log2(n / 32))) — constant at driver
+    // fixture sizes, growing logarithmically past 8192 vectors
+    assert(Similarity.derivePlanes(500) == 8)
+    assert(Similarity.derivePlanes(2000) == 8)
+    assert(Similarity.derivePlanes(8192) == 8)
+    assert(Similarity.derivePlanes(8193) == 9)
+    assert(Similarity.derivePlanes(20000) == 10)
+    assert(Similarity.derivePlanes(1000L * 1000) == 15)
+    assert(Similarity.derivePlanes(1000L * 1000 * 1000) == 25)
+    assert((1 to 40).map(i => Similarity.derivePlanes(1L << i)).sliding(2)
+      .forall(p => p(0) <= p(1)), "derivePlanes must be monotone")
+
+    // 20k synthetic vectors: the derived 10-plane index must use strictly
+    // more buckets per table than the 8-plane default would (finer
+    // partitioning = smaller Σ|bucket|² candidate volume at scale)
+    val n = 20000L
+    val emb = spark.range(n).select(F.col("id").as("vec_id"),
+      F.expr("transform(sequence(0, 7), i -> cast(sin(vec_id * (i + 1) + 0.5) as float))")
+        .as("embedding"))
+    val planes = Similarity.derivePlanes(n)
+    def bucketsUsed(p: Int): Long =
+      Similarity.buckets(emb, planes = p).select("table_id", "bucket").distinct().count()
+    val coarse = bucketsUsed(8)
+    val fine = bucketsUsed(planes)
+    assert(coarse <= 4L * 256, s"8 planes cannot exceed 256 buckets/table, got $coarse")
+    assert(fine > coarse, s"derived $planes-plane index must refine: $fine vs $coarse")
+  }
 }
