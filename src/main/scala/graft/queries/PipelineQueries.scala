@@ -106,10 +106,27 @@ object PipelineQueries {
       planes = annPlanes(s, d),
       persist = (part, df) => materialize(s, d, s"ann_$part")(df)))
 
+  // e_ann_ivf: cells derived from corpus size (√n), index shared the same
+  // way — and the oracle generator reads the identical derived value.
+  private val ivfCellsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+  private[graft] def ivfCells(s: SparkSession, d: String): Int =
+    ivfCellsCache.getOrElseUpdate((s, d),
+      graft.pipeline.IvfAnn.deriveCells(embs(s, d).count()))
+
+  private val ivfIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.IvfAnn.IvfIndex]
+  private def ivfIndex(s: SparkSession, d: String): graft.pipeline.IvfAnn.IvfIndex =
+    ivfIndexCache.getOrElseUpdate((s, d), graft.pipeline.IvfAnn.buildIndex(embs(s, d),
+      cells = ivfCells(s, d),
+      persist = (part, df) => materialize(s, d, s"ivf_$part")(df)))
+
   graft.Caches.register(() => shingleCache.clear())
   graft.Caches.register(() => simhashCache.clear())
   graft.Caches.register(() => annPlanesCache.clear())
   graft.Caches.register(() => annIndexCache.clear())
+  graft.Caches.register(() => ivfCellsCache.clear())
+  graft.Caches.register(() => ivfIndexCache.clear())
 
   private val shinglesSql: String =
     """w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
@@ -701,6 +718,11 @@ object PipelineQueries {
     // operator for embedding columns.
     "e_embed_neardup" -> ((s: SparkSession, d: String) =>
       graft.pipeline.Similarity.embedNearDupFrom(annIndex(s, d), EmbedDupThreshold)),
+    // IVF cell-probing ANN: seeded centroid sample (√n cells), broadcast +
+    // max_by nearest-centroid assignment, nprobe-cell search — the
+    // data-adaptive counterpart to e_ann_lsh's fixed hyperplanes.
+    "e_ann_ivf" -> ((s: SparkSession, d: String) =>
+      graft.pipeline.IvfAnn.annIvfFrom(ivfIndex(s, d), AnnQueries, AnnK)),
     "m_binary_meta" -> (mBinaryMeta _),
     "m_features" -> (mFeatures _)
   )
@@ -713,6 +735,10 @@ object PipelineQueries {
   private def oraclePlanes: Int =
     OracleContext.get.map { case (s, d) => annPlanes(s, d) }
       .getOrElse(graft.pipeline.Similarity.DefaultPlanes)
+
+  private def oracleIvfCells: Int =
+    OracleContext.get.map { case (s, d) => ivfCells(s, d) }
+      .getOrElse(graft.pipeline.IvfAnn.deriveCells(500)) // fixture-sized fallback
 
   def oracles: Map[String, String] = Map(
     "d_dedup_exact" -> dExactDedupSql,
@@ -732,6 +758,7 @@ object PipelineQueries {
       planes = oraclePlanes),
     "e_embed_neardup" -> graft.pipeline.Similarity.embedNearDupSql(EmbedDupThreshold, AnnDim,
       planes = oraclePlanes),
+    "e_ann_ivf" -> graft.pipeline.IvfAnn.annIvfSql(AnnQueries, AnnK, cells = oracleIvfCells),
     "m_binary_meta" -> mBinaryMetaSql,
     "m_features" -> mFeaturesSql
   )

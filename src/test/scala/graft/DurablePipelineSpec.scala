@@ -19,6 +19,7 @@ class DurablePipelineSpec extends SparkSpec {
   test("flag-on results == flag-off; committed intermediates readable by a fresh session") {
     val lshOff = rows("d_minhash_lsh")
     val annOff = rows("e_ann_lsh")
+    val ivfOff = rows("e_ann_ivf")
     val pairsOff = rows("d_simhash_pairs")
 
     val root = Files.createTempDirectory("graft-pipe-ckpt-").toString
@@ -27,11 +28,13 @@ class DurablePipelineSpec extends SparkSpec {
     try {
       assert(rows("d_minhash_lsh") == lshOff)
       assert(rows("e_ann_lsh") == annOff)
+      assert(rows("e_ann_ivf") == ivfOff)
       assert(rows("d_simhash_pairs") == pairsOff)
 
       // the intermediates exist as manifested snapshots with lineage records
       val io = new ParquetManifestIO(spark, root)
-      for (part <- Seq("shingles", "simhash16", "ann_buckets", "ann_norms")) {
+      for (part <- Seq("shingles", "simhash16", "ann_buckets", "ann_norms",
+                       "ivf_centroids", "ivf_assigned")) {
         val table = PipelineQueries.durableTableName(sf, part)
         assert(io.latest(table).contains(0), s"missing committed snapshot: $part")
         assert(io.read(table, 0).count() > 0, s"empty committed snapshot: $part")

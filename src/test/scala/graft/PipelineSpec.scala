@@ -55,6 +55,38 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall suspiciously low")
   }
 
+  test("IVF ANN: deterministic, disjoint cells, plausible recall vs brute force") {
+    import graft.pipeline.IvfAnn
+    // √n cell derivation
+    assert(IvfAnn.deriveCells(500) == 23)
+    assert(IvfAnn.deriveCells(2000) == 45)
+    assert(IvfAnn.deriveCells(1000L * 1000 * 1000) == 31623)
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cells = IvfAnn.deriveCells(emb.count())
+    val idx = IvfAnn.buildIndex(emb, cells)
+    // every vector in exactly one cell; all cells are real centroid ids
+    assert(idx.assigned.count() == 500)
+    assert(idx.assigned.select("vec_id").distinct().count() == 500)
+    val cids = idx.cent.select("cid").as[Long].collect().toSet
+    assert(cids.size == cells)
+    assert(idx.assigned.select("cell").distinct().as[Long].collect().toSet.subsetOf(cids))
+
+    val ivf1 = IvfAnn.annIvfFrom(idx, PipelineQueries.AnnQueries, 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf2 = IvfAnn.annIvf(emb, PipelineQueries.AnnQueries, 3, cells)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf1 == ivf2, "IVF must be deterministic across index builds")
+    assert(ivf1.nonEmpty)
+    val brute = PipelineQueries.eCosineTopk(spark, dir)
+      .where(F.col("rk") <= 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf1).size.toDouble / brute.size
+    // nprobe=4 of 23 cells ⇒ ~17% of the corpus searched; near-random
+    // vectors give recall ≈ the searched fraction plus the query-side bias
+    assert(recall >= 0.15, s"IVF recall $recall suspiciously low")
+  }
+
   test("LSH planes derive from corpus size; buckets actually refine") {
     // formula: planes = max(8, ceil(log2(n / 32))) — constant at driver
     // fixture sizes, growing logarithmically past 8192 vectors

@@ -64,4 +64,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in plan:\n$plan")
   }
+
+  test("e_ann_ivf: assignment is a map-side-combine hash-agg, no corpus-wide window") {
+    // persist = identity so the un-truncated plans stay inspectable
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = graft.pipeline.IvfAnn.buildIndex(emb, cells = 23, persist = (_, df) => df)
+    val asg = idx.assigned.queryExecution.executedPlan.toString
+    // the n×C similarity rows must partial-aggregate BEFORE any exchange —
+    // partial_max_by is the map-side combine; a Window/Sort here would mean
+    // shuffling n×C rows (the thing this layout exists to avoid)
+    assert(asg.contains("partial_max_by"), s"no map-side combine:\n$asg")
+    assert(!asg.contains("Window"), s"corpus-wide window in assignment:\n$asg")
+    assert(!asg.contains("CartesianProduct"), s"unbroadcast cartesian:\n$asg")
+    val full = graft.pipeline.IvfAnn.annIvfFrom(idx, 20, 5)
+      .queryExecution.executedPlan.toString
+    assert(!full.contains("CartesianProduct"), s"unbroadcast cartesian:\n$full")
+  }
 }
