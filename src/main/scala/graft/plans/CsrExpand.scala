@@ -4,10 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet}
-import org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowWriter
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, JavaCode, UnsafeRowWriter}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, UnaryNode}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** CSR message expansion as a WHOLE-OPERATOR custom plan — SURVEY.md §4.6,
@@ -78,9 +79,17 @@ object CsrExpand {
 
 /** Physical operator: one pass over (dsts, ps, rank), messages written into
   * a reused UnsafeRow (safe: consumers process a row before pulling the
-  * next — the same contract codegen'd operators rely on). */
+  * next — the same contract codegen'd operators rely on).
+  *
+  * Implements [[CodegenSupport]] (round-3): inside whole-stage codegen the
+  * expansion is a plain `for` loop over the packed arrays feeding the
+  * parent's consume directly — the join above and the partial sum-by-dst
+  * HashAggregate below fuse into ONE generated function with no iterator
+  * boundary or UnsafeRow materialization between them. The interpreted
+  * `doExecute` below remains the fallback (spark.sql.codegen.wholeStage
+  * off, or >8000-byte methods). */
 case class CsrExpandExec(override val output: Seq[Attribute], child: SparkPlan,
-                         mode: CsrExpandMode) extends UnaryExecNode {
+                         mode: CsrExpandMode) extends UnaryExecNode with CodegenSupport {
 
   // the output attrs are minted by this node, not consumed from the child —
   // without this, QueryPlan counts the constructor's Seq[Attribute] as
@@ -127,6 +136,55 @@ case class CsrExpandExec(override val output: Seq[Attribute], child: SparkPlan,
           }
         }
       }, preservesPartitioning = false)
+  }
+
+  // ---- whole-stage codegen ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    child.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  // one input row fans out to many output rows: a buffering parent (sort,
+  // bounded-append) must copy, exactly as GenerateExec declares
+  override def needCopyResult: Boolean = true
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    val ord = child.output.map(_.name).zipWithIndex.toMap
+    def in(name: String): ExprCode = input(ord(name))
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val dst = ctx.freshName("dst")
+    val outDst = ExprCode(code"", FalseLiteral, JavaCode.variable(dst, LongType))
+    mode match {
+      case CsrExpandMode.MulRank =>
+        val (dstsV, psV, rankV) = (in("dsts"), in("ps"), in("rank"))
+        val c = ctx.freshName("c")
+        val outC = ExprCode(code"", FalseLiteral, JavaCode.variable(c, DoubleType))
+        s"""
+           |${evaluateVariables(input)}
+           |final int $n = java.lang.Math.min(${dstsV.value}.numElements(), ${psV.value}.numElements());
+           |for (int $i = 0; $i < $n; $i++) {
+           |  final long $dst = ${dstsV.value}.getLong($i);
+           |  final double $c = ${psV.value}.getDouble($i) * ${rankV.value};
+           |  ${consume(ctx, Seq(outDst, outC))}
+           |}
+         """.stripMargin
+      case CsrExpandMode.CopyLabel =>
+        val (dstsV, labelV) = (in("dsts"), in("label"))
+        val lbl = ctx.freshName("lbl")
+        val outLbl = ExprCode(code"", FalseLiteral, JavaCode.variable(lbl, LongType))
+        s"""
+           |${evaluateVariables(input)}
+           |final int $n = ${dstsV.value}.numElements();
+           |final long $lbl = ${labelV.value};
+           |for (int $i = 0; $i < $n; $i++) {
+           |  final long $dst = ${dstsV.value}.getLong($i);
+           |  ${consume(ctx, Seq(outDst, outLbl))}
+           |}
+         """.stripMargin
+    }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): CsrExpandExec =

@@ -45,6 +45,46 @@ class CsrExpandSpec extends SparkSpec {
       s"custom operator not planned:\n$exec")
   }
 
+  test("CsrExpandExec fuses INTO whole-stage codegen; interpreted fallback agrees") {
+    val joined = packedJoined.localCheckpoint(true)
+    val df = GraftPlans.expandMessages(joined)
+    // the operator must live inside a WholeStageCodegen span (joined scan →
+    // expand → downstream all one generated function), not break it
+    val wscg = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wscg.exists(_.collect { case e: graft.plans.CsrExpandExec => e }.nonEmpty),
+      s"CsrExpandExec not inside WholeStageCodegen:\n${df.queryExecution.executedPlan}")
+    // and the generated loop must agree with the interpreted doExecute path
+    val gen = df.orderBy("dst", "c").as[(Long, Double)].collect().toSeq
+    val interp = withSQLConf("spark.sql.codegen.wholeStage" -> "false") {
+      GraftPlans.expandMessages(joined)
+        .orderBy("dst", "c").as[(Long, Double)].collect().toSeq
+    }
+    assert(gen.nonEmpty && gen == interp)
+    // CopyLabel kernel too
+    val packed = Csr.packAdjacencyKeys(graph.symmetrized)
+    val st = graph.vertices.select(F.col("vid").as("src"), (F.col("vid") * 7 + 3).as("label"))
+    val lj = packed.join(st, "src").localCheckpoint(true)
+    val genL = GraftPlans.expandLabels(lj)
+      .orderBy("dst", "label").as[(Long, Long)].collect().toSeq
+    val interpL = withSQLConf("spark.sql.codegen.wholeStage" -> "false") {
+      GraftPlans.expandLabels(lj)
+        .orderBy("dst", "label").as[(Long, Long)].collect().toSeq
+    }
+    assert(genL.nonEmpty && genL == interpL)
+  }
+
+  private def withSQLConf[T](kv: (String, String)*)(body: => T): T = {
+    val conf = spark.conf
+    val saved = kv.map { case (k, _) => k -> conf.getOption(k) }
+    kv.foreach { case (k, v) => conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("pruning rule drops the join key under CsrExpand") {
     val optimized = GraftPlans.expandMessages(packedJoined)
       .queryExecution.optimizedPlan.toString
