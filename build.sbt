@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output passes through VERBATIM (no "[info] " logger
+// prefix): the driver parses Bench's single JSON stdout line, and the
+// prefix broke that parse in rounds 1-2 (BENCH_r0{1,2}.json "parsed":
+// null — only the raw tail survived).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,11 +40,15 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <pagerank|cc|lpa|triangles> [--input P|--events P|--conv N]
+    """usage: graft.Main <pagerank|cc|lpa|triangles|dedup|ann> ...
+      |graph commands: [--input P|--events P|--conv N]
       |  [--seed 42] [--out DIR] [--ckpt DIR] [--resume] [--tol 1e-6]
       |  [--damping 0.85] [--max-iters 100] [--rounds 10] [--local N]
       |  [--algo hashmin|star]  (cc only)
-      |  [--packed]  (pagerank|cc|lpa: hub-split CSR layout + CsrExpand operator)""".stripMargin
+      |  [--packed]  (pagerank|cc|lpa: hub-split CSR layout + CsrExpand operator)
+      |pipeline commands (over a testdata-shaped dir with documents/embeddings):
+      |  dedup --dir D [--mode exact|clusters|embed] [--out DIR] [--pipeline-ckpt DIR]
+      |  ann   --dir D [--index lsh|ivf|brute] [--out DIR] [--pipeline-ckpt DIR]""".stripMargin
 
   def loadGraph(spark: SparkSession, opts: Map[String, String]): LinkGraph =
     if (opts.contains("input"))
@@ -95,7 +99,7 @@ object Main {
     }
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    val graph = loadGraph(spark, opts)
+    lazy val graph = loadGraph(spark, opts) // pipeline commands need no graph
 
     def write(df: DataFrame, what: String): Unit = opts.get("out") match {
       case Some(dir) => df.write.mode("overwrite").parquet(s"$dir/$what")
@@ -137,6 +141,35 @@ object Main {
         val r = Triangles.run(graph)
         write(r.perVertex.orderBy("vid"), "triangles")
         println(s"""{"cmd":"triangles","total":${r.total},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "dedup" =>
+        // exact: md5 canonicalization; clusters: the end-to-end LSH →
+        // verify → CC pipeline; embed: cosine near-dup pairs. With
+        // --pipeline-ckpt, intermediates are durable TableIO commits.
+        val dir = opts.getOrElse("dir", sys.error(s"dedup needs --dir\n$usage"))
+        opts.get("pipeline-ckpt").foreach(p => spark.conf.set("spark.graft.pipeline.ckpt", p))
+        val mode = opts.getOrElse("mode", "exact")
+        val query = mode match {
+          case "exact"    => "d_dedup_exact"
+          case "clusters" => "d_dedup_clusters"
+          case "embed"    => "e_embed_neardup"
+          case m          => sys.error(s"unknown dedup mode $m\n$usage")
+        }
+        val df = graft.queries.PipelineQueries.queries(query)(spark, dir)
+        write(df, s"dedup_$mode")
+        println(s"""{"cmd":"dedup","mode":"$mode","rows":${df.count()},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "ann" =>
+        val dir = opts.getOrElse("dir", sys.error(s"ann needs --dir\n$usage"))
+        opts.get("pipeline-ckpt").foreach(p => spark.conf.set("spark.graft.pipeline.ckpt", p))
+        val index = opts.getOrElse("index", "lsh")
+        val query = index match {
+          case "lsh"   => "e_ann_lsh"
+          case "ivf"   => "e_ann_ivf"
+          case "brute" => "e_cosine_topk"
+          case m       => sys.error(s"unknown ann index $m\n$usage")
+        }
+        val df = graft.queries.PipelineQueries.queries(query)(spark, dir)
+        write(df, s"ann_$index")
+        println(s"""{"cmd":"ann","index":"$index","rows":${df.count()},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case other => sys.error(s"unknown command $other\n$usage")
     }
     spark.stop()

@@ -76,6 +76,66 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length.toLong == want)
   }
 
+  test("streaming incremental dedup across microbatches == batch exact dedup") {
+    import graft.streaming.StreamingDedup
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[StreamingDedup.DocRow]
+      .collect().sortBy(_.doc_id)
+    val inDir = tmp(); val ckpt = tmp(); val outDir = tmp()
+    val schema = docs.toSeq.toDS().schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$inDir/data")
+      val q = StreamingDedup.dedupStream(stream.as[StreamingDedup.DocRow])
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // arrival in doc_id order, split across two microbatch rounds; the
+    // fixture has no exact-dup texts, so inject three duplicates of
+    // EARLY-batch documents into the LATE batch — the dup pairs straddle
+    // the microbatch boundary and must resolve via per-hash state
+    val (early, late) = docs.partition(_.doc_id < 250)
+    val synth = early.take(3).zipWithIndex.map { case (d, i) =>
+      StreamingDedup.DocRow(100000L + i, d.text)
+    }
+    early.toSeq.toDS().repartition(2).write.mode("append").parquet(s"$inDir/data")
+    runOnce()
+    (late ++ synth).toSeq.toDS().repartition(2).write.mode("append").parquet(s"$inDir/data")
+    runOnce()
+    val got = spark.read.parquet(outDir)
+      .as[StreamingDedup.DedupLabel].collect().toSet
+
+    // fixture docs: labels must equal the batch exact-dedup operator's
+    // (synthetic ids are larger than every fixture id and duplicate
+    // existing texts, so fixture canonicals are unchanged by them)
+    val want = graft.queries.PipelineQueries.queries("d_dedup_exact")(spark, sf)
+      .as[StreamingDedup.DedupLabel].collect().toSet
+    val gotFixture = got.filter(_.doc_id < 100000L)
+    assert(gotFixture == want,
+      s"streaming labels diverge: ${(gotFixture diff want).take(3)} vs ${(want diff gotFixture).take(3)}")
+    // synthetic dups: labeled against the cross-batch canonical, flagged
+    val byId = got.map(l => l.doc_id -> l).toMap
+    synth.zip(early.take(3)).foreach { case (s, orig) =>
+      val l = byId(s.doc_id)
+      assert(l.is_dup && l.canonical_id == orig.doc_id,
+        s"synthetic ${s.doc_id} got $l, expected canonical ${orig.doc_id}")
+    }
+  }
+
+  test("streaming dedup replay: canonical survives, labels stay consistent") {
+    import graft.streaming.StreamingDedup
+    val state = new TestGroupState[StreamingDedup.HashState](None)
+    val first = StreamingDedup.emitHash("h", Iterator((7L, "h"), (3L, "h")), state).toVector
+    assert(first.map(l => (l.doc_id, l.canonical_id, l.is_dup)) ==
+      Vector((3L, 3L, false), (7L, 3L, true)))
+    // a later batch (or an exact replay) labels against the SAME canonical
+    val second = StreamingDedup.emitHash("h", Iterator((3L, "h"), (11L, "h")), state).toVector
+    assert(second.map(l => (l.doc_id, l.canonical_id, l.is_dup)) ==
+      Vector((3L, 3L, false), (11L, 3L, true)))
+  }
+
   test("replayed turns are dropped by the state guard (idempotence)") {
     // direct unit test of emitConv: feeding the same turns twice emits once
     val conv = allTurns.filter(_.conv_id == TranscriptGen.convId(0))
