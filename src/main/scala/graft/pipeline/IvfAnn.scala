@@ -105,10 +105,9 @@ object IvfAnn {
     val scored = cand.join(idx.norms, "vec_id").join(F.broadcast(q), "qid")
       .select(F.col("qid"), F.col("vec_id"),
         F.round(F.expr("vector_dot(qv, v)") / (F.col("qn") * F.col("nrm")), 6).as("cosine"))
-    val w = Window.partitionBy("qid").orderBy(F.col("cosine").desc, F.col("vec_id"))
-    scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
-      .select(F.col("qid"), F.col("vec_id"), F.col("cosine"), F.col("rk").cast("int").as("rk"))
-      .orderBy("qid", "rk")
+    // bounded partial top-k tail (see Similarity.topKPerQuery): each
+    // partition ships ≤ k candidates per query, no corpus-wide sort
+    Similarity.topKPerQuery(scored, k)
   }
 
   def annIvf(emb: DataFrame, nQueries: Int, k: Int, cells: Int,

@@ -106,6 +106,26 @@ object Similarity {
              planes: Int = DefaultPlanes, multiprobe: Boolean = true): DataFrame =
     annLshFrom(buildIndex(emb, seed, tables, planes), nQueries, k, multiprobe)
 
+  /** Shared top-k tail for the ANN paths: the k best (cosine, vec_id) per
+    * qid via the bounded [[graft.functions.TopKCosine]] Aggregator — an
+    * ObjectHashAggregate with map-side PARTIAL top-k, so each upstream
+    * partition ships ≤ k rows per query into the exchange. The window
+    * formulation this replaces (`row_number over (partition by qid order
+    * by cosine desc, vec_id)`) shuffles AND sorts every scored candidate —
+    * Σ|candidates| rows, the tail's scale bottleneck at 10⁹ vectors.
+    * Output rows (and rk assignment) are identical; parity + plan shape
+    * are pinned in TopKAggSpec. Assumes non-NaN cosines (norms > 0 —
+    * guaranteed by construction for non-zero embeddings). */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = F.udaf(new graft.functions.TopKCosine(k),
+      org.apache.spark.sql.Encoders.product[(Long, Double)])
+    scored.groupBy("qid").agg(topk(F.col("vec_id"), F.col("cosine")).as("top"))
+      .select(F.col("qid"), F.posexplode(F.col("top")).as(Seq("pos", "m")))
+      .select(F.col("qid"), F.col("m._1").as("vec_id"), F.col("m._2").as("cosine"),
+        (F.col("pos") + 1).cast("int").as("rk"))
+      .orderBy("qid", "rk")
+  }
+
   def annLshFrom(idx: AnnIndex, nQueries: Int, k: Int,
                  multiprobe: Boolean = true): DataFrame = {
     val planes = idx.planes
@@ -125,10 +145,7 @@ object Similarity {
     val scored = cand.join(v, "vec_id").join(F.broadcast(qv), "qid")
       .select(F.col("qid"), F.col("vec_id"),
         F.round(F.expr("vector_dot(qv, v)") / (F.col("qn") * F.col("nrm")), 6).as("cosine"))
-    val w = Window.partitionBy("qid").orderBy(F.col("cosine").desc, F.col("vec_id"))
-    scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
-      .select(F.col("qid"), F.col("vec_id"), F.col("cosine"), F.col("rk").cast("int").as("rk"))
-      .orderBy("qid", "rk")
+    topKPerQuery(scored, k)
   }
 
   /** Embedding-cosine near-dup pairs — the dedup-family member that works

@@ -600,9 +600,9 @@ object PipelineQueries {
         F.round(
           F.expr("vector_dot(qv, v)") /
             (F.col("qn") * F.col("nrm")), 6).as("cosine"))
-    val w = Window.partitionBy("qid").orderBy(F.col("cosine").desc, F.col("vec_id"))
-    pairs.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= AnnK)
-      .select(F.col("qid"), F.col("vec_id"), F.col("cosine"), F.col("rk").cast("int").as("rk"))
+    // bounded partial top-k tail: the n×q scored rows never shuffle —
+    // each partition ships ≤ k rows per query (Similarity.topKPerQuery)
+    graft.pipeline.Similarity.topKPerQuery(pairs, AnnK)
       .orderBy("qid", "rk")
   }
 
