@@ -138,7 +138,9 @@ object Main {
         write(r.labels.orderBy("vid"), "labels")
         println(s"""{"cmd":"lpa","rounds":${r.rounds},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "triangles" =>
-        val r = Triangles.run(graph)
+        // --ckpt: stage materializations (canonical/oriented edges, triangle
+        // list) become durable TableIO commits instead of localCheckpoints
+        val r = Triangles.run(graph, materializer(spark, opts, "triangles"))
         write(r.perVertex.orderBy("vid"), "triangles")
         println(s"""{"cmd":"triangles","total":${r.total},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "dedup" =>

@@ -27,6 +27,26 @@ class ResumeSpec extends SparkSpec {
     PageRank.run(graph, PageRankConfig(tol = 1e-8, maxIters = maxIters), mat)
       .ranks.orderBy("vid").as[(Long, Double)].collect().map(_._2)
 
+  test("triangles with durable stage materializations == local, commits visible") {
+    // explicit graph with known triangles (the seed-11 transcript graph has
+    // none): K4 on {0..3} plus a pendant — 4 triangles
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .map { case (s, d) => (s, d, 1, 1.0) }.toDF("src", "dst", "kind", "weight")
+    val dict = (0L to 4L).map(v => (s"v$v", v)).toDF("key", "vid")
+    val graph = graft.graph.LinkGraph(e, dict)
+    val local = Triangles.run(graph)
+    assert(local.total == 4)
+    val dir = tmp()
+    val io = new ParquetManifestIO(spark, dir)
+    val durable = Triangles.run(graph, new CheckpointMaterializer(io, "tri"))
+    assert(durable.total == local.total)
+    assert(durable.perVertex.orderBy("vid").collect().toSeq ==
+      local.perVertex.orderBy("vid").collect().toSeq)
+    // each stage is a manifested commit a restarted job could reuse
+    for (stage <- Seq("tri-und", "tri-oriented", "tri-triangles"))
+      assert(io.latest(stage).contains(0), s"missing durable stage $stage")
+  }
+
   test("interrupted run + --resume converges to the uninterrupted result") {
     val full = ranksOf(new CheckpointMaterializer(
       new ParquetManifestIO(spark, tmp()), "pagerank"))
