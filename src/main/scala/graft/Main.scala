@@ -106,6 +106,20 @@ object Main {
       case None      => df.show(20, truncate = false)
     }
 
+    /** write + row count with ONE pipeline evaluation: with --out, count
+      * the written parquet (a cheap metadata scan) instead of re-running
+      * the plan; without it, count() is the single evaluation and a
+      * 20-row preview goes to stdout from the counted frame. */
+    def writeAndCount(df: DataFrame, what: String): Long = opts.get("out") match {
+      case Some(dir) =>
+        df.write.mode("overwrite").parquet(s"$dir/$what")
+        spark.read.parquet(s"$dir/$what").count()
+      case None =>
+        val cached = df.localCheckpoint(true)
+        cached.show(20, truncate = false)
+        cached.count()
+    }
+
     cmd match {
       case "pagerank" =>
         val r = PageRank.run(graph,
@@ -157,8 +171,8 @@ object Main {
           case m          => sys.error(s"unknown dedup mode $m\n$usage")
         }
         val df = graft.queries.PipelineQueries.queries(query)(spark, dir)
-        write(df, s"dedup_$mode")
-        println(s"""{"cmd":"dedup","mode":"$mode","rows":${df.count()},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+        val rows = writeAndCount(df, s"dedup_$mode")
+        println(s"""{"cmd":"dedup","mode":"$mode","rows":$rows,"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "ann" =>
         val dir = opts.getOrElse("dir", sys.error(s"ann needs --dir\n$usage"))
         opts.get("pipeline-ckpt").foreach(p => spark.conf.set("spark.graft.pipeline.ckpt", p))
@@ -170,8 +184,8 @@ object Main {
           case m       => sys.error(s"unknown ann index $m\n$usage")
         }
         val df = graft.queries.PipelineQueries.queries(query)(spark, dir)
-        write(df, s"ann_$index")
-        println(s"""{"cmd":"ann","index":"$index","rows":${df.count()},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+        val rows = writeAndCount(df, s"ann_$index")
+        println(s"""{"cmd":"ann","index":"$index","rows":$rows,"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case other => sys.error(s"unknown command $other\n$usage")
     }
     spark.stop()

@@ -38,13 +38,13 @@ object ConnectedComponents {
           packedAdjacency: Boolean = false,
           packedSegment: Int = graft.scale.Csr.DefaultSegment): CcResult =
     IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
-      IterativeConf.adaptivePartitions(graph.spark, graph.numVertices)))) {
+      IterativeConf.adaptivePartitions(graph.spark, math.max(graph.numVertices, graph.numEdges))))) {
       val sym =
         if (packedAdjacency)
           mat.shared("sym_packed", graft.scale.Csr
             .packAdjacencyKeys(graph.symmetrized, packedSegment)
-            .repartition(F.col("src")))
-        else mat.shared("sym", graph.symmetrized.repartition(F.col("src")))
+            .repartition(F.col("src")), repartitionKeys = Seq("src"))
+        else mat.shared("sym", graph.symmetrized.repartition(F.col("src")), repartitionKeys = Seq("src"))
 
       val (startIter, st0) = mat.resume() match {
         case Some((k, df)) => (k, df.select("vid", "label"))
@@ -110,7 +110,7 @@ object ConnectedComponents {
     // bound its fixpoint size; symmetrized edges/vertex is small on link
     // graphs, so vertex count is the stable sizing signal here too
     IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
-      IterativeConf.adaptivePartitions(graph.spark, graph.numVertices)))) {
+      IterativeConf.adaptivePartitions(graph.spark, math.max(graph.numVertices, graph.numEdges))))) {
       // This loop's durable state is the contracted EDGE set (u, v) — NOT a
       // per-vertex frame — so a CheckpointMaterializer must bucket on "u"
       // (Main picks the bucket key per algorithm; round-2 verdict bug).

@@ -32,13 +32,13 @@ object LabelPropagation {
           packedAdjacency: Boolean = false,
           packedSegment: Int = graft.scale.Csr.DefaultSegment): LpaResult =
     IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
-      IterativeConf.adaptivePartitions(graph.spark, graph.numVertices)))) {
+      IterativeConf.adaptivePartitions(graph.spark, math.max(graph.numVertices, graph.numEdges))))) {
       val sym =
         if (packedAdjacency)
           mat.shared("sym_packed", graft.scale.Csr
             .packAdjacencyKeys(graph.symmetrized, packedSegment)
-            .repartition(F.col("src")))
-        else mat.shared("sym", graph.symmetrized.repartition(F.col("src")))
+            .repartition(F.col("src")), repartitionKeys = Seq("src"))
+        else mat.shared("sym", graph.symmetrized.repartition(F.col("src")), repartitionKeys = Seq("src"))
 
       val (startIter, st0) = mat.resume() match {
         case Some((k, df)) => (k, df.select("vid", "label"))

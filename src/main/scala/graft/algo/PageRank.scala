@@ -60,7 +60,7 @@ object PageRank {
   def run(graph: LinkGraph, cfg: PageRankConfig = PageRankConfig(),
           mat: Materializer = new LocalMaterializer): PageRankResult =
     IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
-      IterativeConf.adaptivePartitions(graph.spark, graph.numVertices)))) {
+      IterativeConf.adaptivePartitions(graph.spark, math.max(graph.numVertices, graph.numEdges))))) {
       val d = cfg.damping
       val n = graph.numVertices.toDouble
 
@@ -80,7 +80,7 @@ object PageRank {
           .join(wdeg.select(F.col("src").as("vid")).withColumn("has_out", F.lit(true)),
                 Seq("vid"), "left")
           .select(F.col("vid"), F.coalesce(F.col("has_out"), F.lit(false)).as("has_out"))
-          .repartition(F.col("vid")))
+          .repartition(F.col("vid")), repartitionKeys = Seq("vid"))
 
       // Hot-key set for salting (tiny by construction; broadcast).
       val hot =
@@ -94,13 +94,14 @@ object PageRank {
       val em =
         if (cfg.packedAdjacency)
           mat.shared("em_packed",
-            Csr.packAdjacency(emRows, cfg.packedSegment).repartition(F.col("src")))
+            Csr.packAdjacency(emRows, cfg.packedSegment).repartition(F.col("src")),
+            repartitionKeys = Seq("src"))
         else if (cfg.salts > 1)
           mat.shared("em_salted",
             Salting.saltEdges(emRows, hot, cfg.salts)
-              .repartition(F.col("src"), F.col("salt")))
+              .repartition(F.col("src"), F.col("salt")), repartitionKeys = Seq("src", "salt"))
         else
-          mat.shared("em", emRows.repartition(F.col("src")))
+          mat.shared("em", emRows.repartition(F.col("src")), repartitionKeys = Seq("src"))
 
       val maxIters = cfg.fixedIters.getOrElse(cfg.maxIters)
 

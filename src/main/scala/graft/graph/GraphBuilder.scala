@@ -12,6 +12,7 @@ import org.apache.spark.sql.expressions.Window
 final case class LinkGraph(edges: DataFrame, dict: DataFrame) {
   def spark = edges.sparkSession
   lazy val numVertices: Long = dict.count()
+  lazy val numEdges: Long = edges.count()
 
   /** All vertex ids (every dict entry appears in ≥1 edge by construction). */
   def vertices: DataFrame = dict.select("vid")

@@ -71,11 +71,13 @@ object IvfAnn {
 
   /** Build the reusable index parts; `persist` routes them to storage
     * exactly like Similarity.buildIndex (localCheckpoint by default,
-    * TableIO commits in durable mode). */
+    * TableIO commits in durable mode). `norms` injects a shared
+    * pre-materialized (vec_id, v, nrm) frame. */
   def buildIndex(emb: DataFrame, cells: Int, seed: Int = DefaultSeed,
                  persist: (String, DataFrame) => DataFrame =
-                   (_, df) => df.localCheckpoint(true)): IvfIndex = {
-    val n = persist("norms", withNorm(emb))
+                   (_, df) => df.localCheckpoint(true),
+                 norms: Option[DataFrame] = None): IvfIndex = {
+    val n = norms.getOrElse(persist("norms", withNorm(emb)))
     val c = persist("centroids", centroids(n, cells, seed))
     val a = persist("assigned", assign(n, c))
     IvfIndex(n, c, a)

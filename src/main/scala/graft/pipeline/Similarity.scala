@@ -81,20 +81,24 @@ object Similarity {
     * (PipelineQueries caches one per (session, dir)). */
   final case class AnnIndex(buckets: DataFrame, norms: DataFrame, planes: Int)
 
-  /** `persist` routes the two index parts ("buckets", "norms") to storage:
-    * default eager localCheckpoint (fast, executor-memory-resident);
-    * PipelineQueries passes its TableIO-backed materializer so a durable
-    * run commits the index as manifested parquet snapshots instead. */
+  /** `persist` routes the index parts to storage: default eager
+    * localCheckpoint (fast, executor-memory-resident); PipelineQueries
+    * passes its TableIO-backed materializer so a durable run commits the
+    * index as manifested parquet snapshots instead. `norms` injects an
+    * ALREADY-materialized (vec_id, v, nrm) frame — PipelineQueries shares
+    * one across the LSH index, the IVF index, and the brute-force baseline
+    * instead of scanning the corpus three times. */
   def buildIndex(emb: DataFrame, seed: Int = DefaultSeed, tables: Int = DefaultTables,
                  planes: Int = DefaultPlanes,
                  persist: (String, DataFrame) => DataFrame =
-                   (_, df) => df.localCheckpoint(true)): AnnIndex = {
+                   (_, df) => df.localCheckpoint(true),
+                 norms: Option[DataFrame] = None): AnnIndex = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val b = persist("buckets", buckets(emb, seed, tables, planes))
-    val v = persist("norms",
+    val v = norms.getOrElse(persist("norms",
       emb.select(F.col("vec_id"), F.col("embedding").as("v"))
         .select(F.col("vec_id"), F.col("v"),
-          F.sqrt(F.expr("vector_dot(v, v)")).as("nrm")))
+          F.sqrt(F.expr("vector_dot(v, v)")).as("nrm"))))
     AnnIndex(b, v, planes)
   }
 

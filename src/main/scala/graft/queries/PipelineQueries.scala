@@ -61,8 +61,18 @@ object PipelineQueries {
   // byte-identical (DurablePipelineSpec; the CORRECTNESS gate passes
   // flag-on).
 
-  private[graft] def durableTableName(d: String, name: String): String =
-    s"$name-${Integer.toHexString(d.hashCode)}"
+  /** Table name = part name + md5 of the source-dir path (collision-proof,
+    * unlike 32-bit String.hashCode). Snapshot semantics are SNAPSHOT-OF-
+    * FIRST-RUN: a commit is keyed by the input PATH, not an input
+    * fingerprint — rewriting the parquet under a cached path keeps serving
+    * the old snapshot (same single-run contract as the in-memory memos;
+    * point the ckpt root somewhere fresh, or delete the table dirs, when
+    * the input changes). */
+  private[graft] def durableTableName(d: String, name: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"$name-${md.take(16)}"
+  }
 
   private def durableRoot(s: SparkSession): Option[String] =
     s.conf.getOption("spark.graft.pipeline.ckpt")
@@ -90,6 +100,20 @@ object PipelineQueries {
   private val simhashCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  // ONE (vec_id, v, nrm) norms frame per (session, dir), shared by the LSH
+  // index, the IVF index, and the brute-force cosine baseline — one corpus
+  // scan (and in durable mode one snapshot) instead of three identical ones.
+  private val normsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def normsOf(s: SparkSession, d: String): DataFrame =
+    normsCache.getOrElseUpdate((s, d), {
+      graft.functions.GraftFunctions.register(s)
+      materialize(s, d, "norms")(
+        embs(s, d).select(F.col("vec_id"), F.col("embedding").as("v"))
+          .select(F.col("vec_id"), F.col("v"),
+            F.sqrt(F.expr("vector_dot(v, v)")).as("nrm")))
+    })
+
   // e_ann_lsh and e_embed_neardup share one LSH index (buckets + norms).
   // Planes are DERIVED from the corpus size (one metadata-cheap count),
   // memoized separately so the oracle generator reads the identical value.
@@ -104,7 +128,8 @@ object PipelineQueries {
   private def annIndex(s: SparkSession, d: String): graft.pipeline.Similarity.AnnIndex =
     annIndexCache.getOrElseUpdate((s, d), graft.pipeline.Similarity.buildIndex(embs(s, d),
       planes = annPlanes(s, d),
-      persist = (part, df) => materialize(s, d, s"ann_$part")(df)))
+      persist = (part, df) => materialize(s, d, s"ann_$part")(df),
+      norms = Some(normsOf(s, d))))
 
   // e_ann_ivf: cells derived from corpus size (√n), index shared the same
   // way — and the oracle generator reads the identical derived value.
@@ -119,10 +144,12 @@ object PipelineQueries {
   private def ivfIndex(s: SparkSession, d: String): graft.pipeline.IvfAnn.IvfIndex =
     ivfIndexCache.getOrElseUpdate((s, d), graft.pipeline.IvfAnn.buildIndex(embs(s, d),
       cells = ivfCells(s, d),
-      persist = (part, df) => materialize(s, d, s"ivf_$part")(df)))
+      persist = (part, df) => materialize(s, d, s"ivf_$part")(df),
+      norms = Some(normsOf(s, d))))
 
   graft.Caches.register(() => shingleCache.clear())
   graft.Caches.register(() => simhashCache.clear())
+  graft.Caches.register(() => normsCache.clear())
   graft.Caches.register(() => annPlanesCache.clear())
   graft.Caches.register(() => annIndexCache.clear())
   graft.Caches.register(() => ivfCellsCache.clear())
@@ -589,10 +616,7 @@ object PipelineQueries {
     // but stays inside whole-stage codegen — the HOF fold is CodegenFallback
     // and evicts the entire projection from WSCG.
     graft.functions.GraftFunctions.register(s)
-    val v = embs(s, d).select(F.col("vec_id"), F.col("embedding").as("v"))
-    val n = materialize(s, d, "cosine_norms")(
-      v.select(F.col("vec_id"), F.col("v"),
-        F.sqrt(F.expr("vector_dot(v, v)")).as("nrm")))
+    val n = normsOf(s, d)
     val q = n.where(F.col("vec_id") < AnnQueries)
       .select(F.col("vec_id").as("qid"), F.col("v").as("qv"), F.col("nrm").as("qn"))
     val pairs = n.crossJoin(F.broadcast(q)).where(F.col("vec_id") =!= F.col("qid"))

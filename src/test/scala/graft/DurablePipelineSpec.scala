@@ -33,7 +33,7 @@ class DurablePipelineSpec extends SparkSpec {
 
       // the intermediates exist as manifested snapshots with lineage records
       val io = new ParquetManifestIO(spark, root)
-      for (part <- Seq("shingles", "simhash16", "ann_buckets", "ann_norms",
+      for (part <- Seq("shingles", "simhash16", "norms", "ann_buckets",
                        "ivf_centroids", "ivf_assigned")) {
         val table = PipelineQueries.durableTableName(sf, part)
         assert(io.latest(table).contains(0), s"missing committed snapshot: $part")

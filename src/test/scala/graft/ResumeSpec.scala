@@ -45,6 +45,15 @@ class ResumeSpec extends SparkSpec {
     // each stage is a manifested commit a restarted job could reuse
     for (stage <- Seq("tri-und", "tri-oriented", "tri-triangles"))
       assert(io.latest(stage).contains(0), s"missing durable stage $stage")
+
+    // restart recovery is REAL, not write-only: a new run over the same
+    // checkpoint root reads the committed stages back — here the input
+    // edges are gone (empty), so only snapshot reuse can produce 4
+    val emptyGraph = graft.graph.LinkGraph(
+      e.where(org.apache.spark.sql.functions.lit(false)), dict)
+    val recovered = Triangles.run(emptyGraph,
+      new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "tri"))
+    assert(recovered.total == 4, "committed stages were not read back on restart")
   }
 
   test("interrupted run + --resume converges to the uninterrupted result") {
