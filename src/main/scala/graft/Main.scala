@@ -46,6 +46,7 @@ object Main {
       |  [--damping 0.85] [--max-iters 100] [--rounds 10] [--local N]
       |  [--algo hashmin|star]  (cc only)
       |  [--packed]  (pagerank|cc|lpa: hub-split CSR layout + CsrExpand operator)
+      |  [--warm P]  (pagerank: seed from a prior run's ranks parquet)
       |pipeline commands (over a testdata-shaped dir with documents/embeddings):
       |  dedup --dir D [--mode exact|clusters|embed] [--out DIR] [--pipeline-ckpt DIR]
       |  ann   --dir D [--index lsh|ivf|brute] [--out DIR] [--pipeline-ckpt DIR]""".stripMargin
@@ -122,13 +123,17 @@ object Main {
 
     cmd match {
       case "pagerank" =>
+        // --warm P: seed from a prior run's ranks parquet (vid, rank) —
+        // the incremental path after new transcripts land; remap via the
+        // dict keys first if the vertex dictionary changed.
         val r = PageRank.run(graph,
           PageRankConfig(
             damping = opts.getOrElse("damping", "0.85").toDouble,
             tol = opts.getOrElse("tol", "1e-6").toDouble,
             maxIters = opts.getOrElse("max-iters", "100").toInt,
             packedAdjacency = opts.contains("packed")),
-          materializer(spark, opts, "pagerank"))
+          materializer(spark, opts, "pagerank"),
+          warmStart = opts.get("warm").map(p => spark.read.parquet(p)))
         write(r.ranks.orderBy(F.col("rank").desc, F.col("vid")), "ranks")
         println(s"""{"cmd":"pagerank","iterations":${r.iterations},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "cc" =>

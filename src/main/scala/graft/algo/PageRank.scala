@@ -57,8 +57,15 @@ final case class PageRankResult(
 
 object PageRank {
 
+  /** `warmStart`: a (vid, rank) frame from a PREVIOUS converged run — the
+    * incremental-ingest path (SURVEY §2.9 ST1): after new turns land, the
+    * near-fixpoint prior ranks re-converge in a few rounds instead of from
+    * 1/N. Vertices absent from the prior run start at 1/N; the vector is
+    * renormalized to unit mass. Ignored when a durable resume point exists
+    * (mid-run recovery beats cross-run seeding). */
   def run(graph: LinkGraph, cfg: PageRankConfig = PageRankConfig(),
-          mat: Materializer = new LocalMaterializer): PageRankResult =
+          mat: Materializer = new LocalMaterializer,
+          warmStart: Option[DataFrame] = None): PageRankResult =
     IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
       IterativeConf.adaptivePartitions(graph.spark, math.max(graph.numVertices, graph.numEdges))))) {
       val d = cfg.damping
@@ -109,13 +116,26 @@ object PageRank {
         df.agg(F.coalesce(F.sum(F.when(!F.col("has_out"), F.col("rank")).otherwise(0.0)), F.lit(0.0)))
           .first().getDouble(0)
 
-      // Resume (BASELINE.json:6 "resumable mid-iteration") or cold start.
+      // Resume (BASELINE.json:6 "resumable mid-iteration"), warm start
+      // from a prior run's ranks, or cold start at 1/N.
       val (startIter, st0, dang0) = mat.resume() match {
         case Some((k, df)) =>
           (k, df.select("vid", "rank"), danglingOf(df))
         case None =>
-          val init = vmeta.select(F.col("vid"), F.lit(1.0 / n).as("rank"),
-            F.lit(0.0).as("prev"), F.col("has_out"))
+          val init = warmStart match {
+            case Some(prior) =>
+              val filled = vmeta
+                .join(prior.select(F.col("vid"), F.col("rank").as("warm")), Seq("vid"), "left")
+                .select(F.col("vid"),
+                  F.coalesce(F.col("warm"), F.lit(1.0 / n)).as("r0"), F.col("has_out"))
+              // renormalize to unit mass (vertex set may have changed)
+              val mass = filled.agg(F.sum("r0")).first().getDouble(0)
+              filled.select(F.col("vid"), (F.col("r0") / F.lit(mass)).as("rank"),
+                F.lit(0.0).as("prev"), F.col("has_out"))
+            case None =>
+              vmeta.select(F.col("vid"), F.lit(1.0 / n).as("rank"),
+                F.lit(0.0).as("prev"), F.col("has_out"))
+          }
           val committed = mat.iter(0, init, Map("init" -> true))
           (0, committed.select("vid", "rank"), danglingOf(committed))
       }

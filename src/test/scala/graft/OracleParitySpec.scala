@@ -37,6 +37,36 @@ class OracleParitySpec extends SparkSpec {
     }
   }
 
+  test("warm-start PageRank: prior fixpoint re-converges fast, survives graph growth") {
+    import org.apache.spark.sql.{functions => F}
+    val cfg = PageRankConfig(tol = 1e-8)
+    val cold = PageRank.run(graph, cfg)
+    assert(cold.converged)
+    // same graph, seeded with its own fixpoint: converges immediately
+    val warmSame = PageRank.run(graph, cfg, warmStart = Some(cold.ranks))
+    assert(warmSame.converged && warmSame.iterations <= 3,
+      s"warm restart took ${warmSame.iterations} rounds")
+    cold.ranks.orderBy("vid").as[(Long, Double)].collect()
+      .zip(warmSame.ranks.orderBy("vid").as[(Long, Double)].collect())
+      .foreach { case ((v, a), (_, b)) => assert(math.abs(a - b) <= 1e-6, s"vid $v") }
+
+    // grown graph (10% more conversations): dense ids REMAP when the
+    // dictionary grows, so prior ranks re-attach via entity keys
+    val g2 = GraphBuilder.fromTranscripts(
+      TranscriptGen.transcripts(spark, nConvs = 66, seed = 42).toDF())
+    val remapped = cold.ranks.join(graph.dict, "vid")
+      .select(F.col("key"), F.col("rank"))
+      .join(g2.dict, "key").select(F.col("vid"), F.col("rank"))
+    val cold2 = PageRank.run(g2, cfg)
+    val warm2 = PageRank.run(g2, cfg, warmStart = Some(remapped))
+    assert(warm2.converged)
+    assert(warm2.iterations <= cold2.iterations,
+      s"warm ${warm2.iterations} > cold ${cold2.iterations}")
+    cold2.ranks.orderBy("vid").as[(Long, Double)].collect()
+      .zip(warm2.ranks.orderBy("vid").as[(Long, Double)].collect())
+      .foreach { case ((v, a), (_, b)) => assert(math.abs(a - b) <= 1e-6, s"vid $v") }
+  }
+
   test("PageRank fixed-iteration mode matches oracle step-for-step") {
     val got = PageRank.run(graph, PageRankConfig(fixedIters = Some(7)))
       .ranks.orderBy("vid").as[(Long, Double)].collect().map(_._2)
