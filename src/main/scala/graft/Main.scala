@@ -46,7 +46,8 @@ object Main {
       |  [--damping 0.85] [--max-iters 100] [--rounds 10] [--local N]
       |  [--algo hashmin|star]  (cc only)
       |  [--packed]  (pagerank|cc|lpa: hub-split CSR layout + CsrExpand operator)
-      |  [--warm P]  (pagerank: seed from a prior run's ranks parquet)
+      |  [--warm P]  (pagerank / cc hashmin: seed from a prior run's output parquet;
+      |               append-only growth only for cc — see ConnectedComponents.run)
       |pipeline commands (over a testdata-shaped dir with documents/embeddings):
       |  dedup --dir D [--mode exact|clusters|embed] [--out DIR] [--pipeline-ckpt DIR]
       |  ann   --dir D [--index lsh|ivf|brute] [--out DIR] [--pipeline-ckpt DIR]""".stripMargin
@@ -147,7 +148,8 @@ object Main {
             materializer(spark, opts, "cc", bucketCol = "u")) // edge-set state
           else ConnectedComponents.run(graph,
             opts.getOrElse("max-rounds", "200").toInt, materializer(spark, opts, "cc"),
-            packedAdjacency = opts.contains("packed"))
+            packedAdjacency = opts.contains("packed"),
+            warmStart = opts.get("warm").map(p => spark.read.parquet(p)))
         write(r.labels.orderBy("vid"), "labels")
         println(s"""{"cmd":"cc","algo":"${if (star) "star" else "hashmin"}","rounds":${r.rounds},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "lpa" =>

@@ -33,10 +33,19 @@ object ConnectedComponents {
     * label messages through the CsrExpand custom operator (CopyLabel mode)
     * instead of the row-level join — identical labels, one row per vertex
     * segment on the join's probe side. */
+  /** `warmStart`: (vid, label) from a PREVIOUS converged run on an
+    * append-only-grown graph (remap via dict keys if ids changed). Valid
+    * because HashMin's fixpoint is the min over init labels reachable in
+    * the component, and with edges only ADDED every prior label is a
+    * member id whose minimum over merged old components equals the new
+    * component minimum. NOT valid after edge/vertex REMOVAL — a prior
+    * label may then name a vertex outside the component; cold-start there.
+    * New vertices init to their own vid. */
   def run(graph: LinkGraph, maxRounds: Int = 200,
           mat: Materializer = new LocalMaterializer,
           packedAdjacency: Boolean = false,
-          packedSegment: Int = graft.scale.Csr.DefaultSegment): CcResult =
+          packedSegment: Int = graft.scale.Csr.DefaultSegment,
+          warmStart: Option[DataFrame] = None): CcResult =
     IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
       IterativeConf.adaptivePartitions(graph.spark, math.max(graph.numVertices, graph.numEdges))))) {
       val sym =
@@ -49,9 +58,16 @@ object ConnectedComponents {
       val (startIter, st0) = mat.resume() match {
         case Some((k, df)) => (k, df.select("vid", "label"))
         case None =>
-          val init = graph.vertices
-            .repartition(F.col("vid"))
-            .select(F.col("vid"), F.col("vid").as("label"), F.col("vid").as("prev"))
+          val base = graph.vertices.repartition(F.col("vid"))
+          val init = warmStart match {
+            case Some(prior) => base
+              .join(prior.select(F.col("vid"), F.col("label").as("warm")), Seq("vid"), "left")
+              .select(F.col("vid"),
+                F.coalesce(F.col("warm"), F.col("vid")).as("label"),
+                F.col("vid").as("prev"))
+            case None =>
+              base.select(F.col("vid"), F.col("vid").as("label"), F.col("vid").as("prev"))
+          }
           (0, mat.iter(0, init, Map("init" -> true)).select("vid", "label"))
       }
       var state = st0

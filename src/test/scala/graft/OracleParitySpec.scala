@@ -67,6 +67,34 @@ class OracleParitySpec extends SparkSpec {
       .foreach { case ((v, a), (_, b)) => assert(math.abs(a - b) <= 1e-6, s"vid $v") }
   }
 
+  test("warm-start CC: prior labels converge in fewer rounds with exact labels") {
+    import org.apache.spark.sql.{functions => F}
+    val cold = ConnectedComponents.run(graph)
+    assert(cold.converged)
+    // unchanged graph seeded with its own fixpoint: one verification round
+    val warmSame = ConnectedComponents.run(graph, warmStart = Some(cold.labels))
+    assert(warmSame.converged && warmSame.rounds <= 2)
+    assert(warmSame.labels.orderBy("vid").collect().toSeq ==
+      cold.labels.orderBy("vid").collect().toSeq)
+    // append-only growth: remap prior labels via entity keys — labels are
+    // VIDS, so map the label's old key to its new vid too
+    val g2 = GraphBuilder.fromTranscripts(
+      TranscriptGen.transcripts(spark, nConvs = 66, seed = 42).toDF())
+    val oldKeyOf = graph.dict.select(F.col("key"), F.col("vid"))
+    val remapped = cold.labels
+      .join(oldKeyOf, "vid").select(F.col("key"), F.col("label"))
+      .join(oldKeyOf.select(F.col("key").as("label_key"), F.col("vid").as("label")), "label")
+      .join(g2.dict, "key").select(F.col("vid"), F.col("label_key"))
+      .join(g2.dict.select(F.col("key").as("label_key"), F.col("vid").as("label")), "label_key")
+      .select("vid", "label")
+    val cold2 = ConnectedComponents.run(g2)
+    val warm2 = ConnectedComponents.run(g2, warmStart = Some(remapped))
+    assert(warm2.converged && warm2.rounds <= cold2.rounds,
+      s"warm ${warm2.rounds} > cold ${cold2.rounds}")
+    assert(warm2.labels.orderBy("vid").collect().toSeq ==
+      cold2.labels.orderBy("vid").collect().toSeq)
+  }
+
   test("PageRank fixed-iteration mode matches oracle step-for-step") {
     val got = PageRank.run(graph, PageRankConfig(fixedIters = Some(7)))
       .ranks.orderBy("vid").as[(Long, Double)].collect().map(_._2)

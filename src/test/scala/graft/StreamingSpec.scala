@@ -124,6 +124,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup pairs across microbatches == batch simhash64 pairs") {
+    import graft.streaming.{StreamingDedup, StreamingNearDup}
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").as[StreamingDedup.DocRow]
+      .collect().sortBy(_.doc_id)
+    val inDir = tmp(); val ckpt = tmp(); val outDir = tmp()
+    val schema = docs.toSeq.toDS().schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$inDir/data")
+      val q = StreamingNearDup.nearDupStream(stream.as[StreamingDedup.DocRow])
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val (early, late) = docs.partition(_.doc_id < 250)
+    early.toSeq.toDS().repartition(2).write.mode("append").parquet(s"$inDir/data")
+    runOnce()
+    late.toSeq.toDS().repartition(2).write.mode("append").parquet(s"$inDir/data")
+    runOnce()
+    // a pair may be emitted once per agreeing chunk — dedup like the batch
+    // operator's .distinct(), then compare the full sets
+    val got = spark.read.parquet(outDir)
+      .select("da", "db", "hamming").distinct()
+      .as[(Long, Long, Int)].collect().toSet
+    val want = graft.queries.PipelineQueries.queries("d_simhash64_pairs")(spark, sf)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want,
+      s"pair sets diverge: extra=${(got diff want).take(3)} missing=${(want diff got).take(3)}")
+    assert(want.nonEmpty, "fixture should contain near-dup pairs")
+    // pairs must straddle the microbatch boundary (state actually used)
+    assert(got.exists { case (da, db, _) => da < 250 && db >= 250 },
+      "no cross-batch pair — state not exercised")
+  }
+
   test("streaming dedup replay: canonical survives, labels stay consistent") {
     import graft.streaming.StreamingDedup
     val state = new TestGroupState[StreamingDedup.HashState](None)
