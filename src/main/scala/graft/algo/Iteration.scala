@@ -28,8 +28,19 @@ sealed trait Materializer {
     * AND declares it via `repartitionKeys`: a durable backend that finds a
     * previously COMMITTED copy reads it back instead of recomputing —
     * that's the restart-recovery story — and must re-establish the hash
-    * partitioning the parquet roundtrip dropped, at the loop's width. */
-  def shared(name: String, df: DataFrame, repartitionKeys: Seq[String] = Nil): DataFrame
+    * partitioning the parquet roundtrip dropped, at the loop's width.
+    *
+    * `fingerprint` (round-3 ADVICE): an identity string for the
+    * PARAMETERS this invariant was derived with (layout knobs like
+    * packedSegment/salts; the run-level input token comes from the
+    * materializer's constructor). A durable backend records it in the
+    * commit manifest and RECOMPUTES instead of reading back when the
+    * committed value differs — without it, a resumed run whose layout
+    * changed under the same ckpt dir silently served the stale snapshot.
+    * Deliberately NOT a data fingerprint: read-back must keep working
+    * when the input is gone (the restart-recovery contract, ResumeSpec). */
+  def shared(name: String, df: DataFrame, repartitionKeys: Seq[String] = Nil,
+             fingerprint: Option[String] = None): DataFrame
   /** Resume point: highest committed iteration and its state, if any. */
   def resume(): Option[(Int, DataFrame)]
   /** Record metrics computed AFTER iter's commit (cheap agg over the
@@ -63,8 +74,9 @@ final class LocalMaterializer extends Materializer {
     prevIterRddIds = created
     out
   }
-  override def shared(name: String, df: DataFrame, repartitionKeys: Seq[String]): DataFrame =
-    checkpointTracked(df)._1 // nothing durable to read back; keys moot
+  override def shared(name: String, df: DataFrame, repartitionKeys: Seq[String],
+                      fingerprint: Option[String]): DataFrame =
+    checkpointTracked(df)._1 // nothing durable to read back; keys/fp moot
   override def resume(): Option[(Int, DataFrame)] = None
   override def note(iter: Int, meta: Map[String, Any]): Unit =
     buf += (meta + ("iter" -> iter))
@@ -79,9 +91,15 @@ final class LocalMaterializer extends Materializer {
   * Some((key, P))` snapshots are written hash-BUCKETED on the loop key, so
   * a RESUMED loop's state scan reports HashPartitioning(key, P) and the
   * one-shuffle contract holds from the first resumed iteration too (without
-  * it, resume pays one recovery re-shuffle). */
+  * it, resume pays one recovery re-shuffle).
+  *
+  * `runFingerprint` identifies the RUN'S INPUT (e.g. Main passes the
+  * --input/--events/--conv token): it joins every shared() call's
+  * parameter fingerprint, so pointing the same ckpt dir at a different
+  * input recomputes the invariants instead of serving stale snapshots. */
 final class CheckpointMaterializer(io: TableIO, val stateTable: String,
-                                   bucket: Option[(String, Int)] = None) extends Materializer {
+                                   bucket: Option[(String, Int)] = None,
+                                   runFingerprint: Option[String] = None) extends Materializer {
   private var prevIterRddIds: Set[Int] = Set.empty
 
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
@@ -107,20 +125,48 @@ final class CheckpointMaterializer(io: TableIO, val stateTable: String,
     * commit-but-never-read version gave no actual recovery). The parquet
     * roundtrip drops hash partitioning, so the caller-declared keys are
     * re-applied at the loop width before the flat checkpoint — the
-    * one-shuffle-per-round contract holds from the first resumed round. */
-  override def shared(name: String, df: DataFrame, repartitionKeys: Seq[String]): DataFrame = {
+    * one-shuffle-per-round contract holds from the first resumed round.
+    *
+    * Staleness guard (round-3 ADVICE): the effective fingerprint
+    * (runFingerprint + the call's parameter fingerprint) is recorded in
+    * the commit manifest; a committed snapshot whose recorded fingerprint
+    * DIFFERS from the current one is recomputed and committed as the next
+    * snapshot id instead of being trusted by name alone. A snapshot with
+    * no recorded fingerprint (older layout) is trusted — back-compat. */
+  override def shared(name: String, df: DataFrame, repartitionKeys: Seq[String],
+                      fingerprint: Option[String]): DataFrame = {
     val table = s"$stateTable-$name"
+    val fp = (runFingerprint.toSeq ++ fingerprint.toSeq).mkString(";") match {
+      case "" => None
+      case s  => Some(s)
+    }
+    def commitFresh(iter: Int): DataFrame = {
+      val flat = checkpointTracked(df)._1
+      io.commit(table, iter, flat, fp.map(f => "fingerprint" -> (f: Any)).toMap)
+      flat
+    }
     io.latest(table) match {
       case Some(i) =>
-        val back = io.read(table, i)
-        val placed =
-          if (repartitionKeys.isEmpty) back
-          else back.repartition(repartitionKeys.map(org.apache.spark.sql.functions.col): _*)
-        checkpointTracked(placed)._1
-      case None =>
-        val flat = checkpointTracked(df)._1
-        io.commit(table, 0, flat, Map.empty)
-        flat
+        val recorded = io.commitLog(table)
+          .find(_.get("iter").exists(_.toString == i.toString))
+          .flatMap(_.get("fingerprint")).map(_.toString)
+        val stale = (fp, recorded) match {
+          case (Some(f), Some(r)) => f != r
+          case _                  => false
+        }
+        if (stale) {
+          Console.err.println(s"[graft] shared invariant $table/iter=$i was " +
+            s"committed with fingerprint '${recorded.getOrElse("")}' but this " +
+            s"run computes '${fp.get}' — recomputing instead of reusing")
+          commitFresh(i + 1)
+        } else {
+          val back = io.read(table, i)
+          val placed =
+            if (repartitionKeys.isEmpty) back
+            else back.repartition(repartitionKeys.map(org.apache.spark.sql.functions.col): _*)
+          checkpointTracked(placed)._1
+        }
+      case None => commitFresh(0)
     }
   }
   override def resume(): Option[(Int, DataFrame)] =

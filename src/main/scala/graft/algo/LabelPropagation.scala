@@ -37,7 +37,8 @@ object LabelPropagation {
         if (packedAdjacency)
           mat.shared("sym_packed", graft.scale.Csr
             .packAdjacencyKeys(graph.symmetrized, packedSegment)
-            .repartition(F.col("src")), repartitionKeys = Seq("src"))
+            .repartition(F.col("src")), repartitionKeys = Seq("src"),
+            fingerprint = Some(s"segment=$packedSegment"))
         else mat.shared("sym", graph.symmetrized.repartition(F.col("src")), repartitionKeys = Seq("src"))
 
       val (startIter, st0) = mat.resume() match {

@@ -89,12 +89,18 @@ object PageRank {
           .select(F.col("vid"), F.coalesce(F.col("has_out"), F.lit(false)).as("has_out"))
           .repartition(F.col("vid")), repartitionKeys = Seq("vid"))
 
+      // Parameter fingerprint for the durable invariants (round-3 ADVICE):
+      // a resumed run whose layout knobs changed under the same ckpt dir
+      // must recompute, not silently read the stale snapshot.
+      val layoutFp = Some(s"weighted=${cfg.weighted};segment=${cfg.packedSegment};" +
+        s"salts=${cfg.salts};hotQ=${cfg.hotQuantile};hotMin=${cfg.hotMinDegree}")
+
       // Hot-key set for salting (tiny by construction; broadcast).
       val hot =
         if (cfg.salts > 1)
           mat.shared("hot", Salting.hotKeys(
             wdeg.select(F.col("src").as("vid"), F.col("wdeg")),
-            cfg.hotQuantile, cfg.hotMinDegree))
+            cfg.hotQuantile, cfg.hotMinDegree), fingerprint = layoutFp)
         else null
 
       // Edge layout materialization, partitioned on the join key.
@@ -102,13 +108,15 @@ object PageRank {
         if (cfg.packedAdjacency)
           mat.shared("em_packed",
             Csr.packAdjacency(emRows, cfg.packedSegment).repartition(F.col("src")),
-            repartitionKeys = Seq("src"))
+            repartitionKeys = Seq("src"), fingerprint = layoutFp)
         else if (cfg.salts > 1)
           mat.shared("em_salted",
             Salting.saltEdges(emRows, hot, cfg.salts)
-              .repartition(F.col("src"), F.col("salt")), repartitionKeys = Seq("src", "salt"))
+              .repartition(F.col("src"), F.col("salt")),
+            repartitionKeys = Seq("src", "salt"), fingerprint = layoutFp)
         else
-          mat.shared("em", emRows.repartition(F.col("src")), repartitionKeys = Seq("src"))
+          mat.shared("em", emRows.repartition(F.col("src")),
+            repartitionKeys = Seq("src"), fingerprint = layoutFp)
 
       val maxIters = cfg.fixedIters.getOrElse(cfg.maxIters)
 

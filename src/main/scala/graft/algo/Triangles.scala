@@ -26,7 +26,13 @@ final case class TriangleResult(
 
 object Triangles {
 
+  /** Run counter — lets a test assert the per-(session, dir) result cache
+    * (GraphQueries.triangles) computes the wedge join ONCE per pass even
+    * when both g_triangles and g_tri_pervertex consume it. */
+  private[graft] val runs = new java.util.concurrent.atomic.AtomicLong(0)
+
   def run(graph: LinkGraph, mat: Materializer = new LocalMaterializer): TriangleResult = {
+    runs.incrementAndGet()
     // Canonical undirected edge set (u < v), self-loops dropped.
     val und = mat.shared("und", graph.edges
       .where(F.col("src") =!= F.col("dst"))

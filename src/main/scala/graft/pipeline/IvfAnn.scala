@@ -40,9 +40,12 @@ object IvfAnn {
 
   private def withNorm(emb: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
+    // nrm > 0: zero vectors can't be centroids or candidates — cosine is
+    // NaN; the oracle's norms CTE filters identically (round-3 verdict #7).
     emb.select(F.col("vec_id"), F.col("embedding").as("v"))
       .select(F.col("vec_id"), F.col("v"),
         F.sqrt(F.expr("vector_dot(v, v)")).as("nrm"))
+      .where(F.col("nrm") > 0)
   }
 
   /** (cid, cv, cnrm): the C seeded-sample centroids. TakeOrdered on the
@@ -127,7 +130,9 @@ object IvfAnn {
     s"""WITH v AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |n AS MATERIALIZED (
-       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+       |  SELECT * FROM (
+       |    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)
+       |  WHERE nrm > 0),
        |cent AS MATERIALIZED (
        |  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
        |  ORDER BY md5('ivf:$seed:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $cells),

@@ -95,10 +95,13 @@ object Similarity {
                  norms: Option[DataFrame] = None): AnnIndex = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val b = persist("buckets", buckets(emb, seed, tables, planes))
+    // nrm > 0: zero vectors have no direction — cosine against them is NaN
+    // and would disorder the top-k tail. The oracle SQL filters identically.
     val v = norms.getOrElse(persist("norms",
       emb.select(F.col("vec_id"), F.col("embedding").as("v"))
         .select(F.col("vec_id"), F.col("v"),
-          F.sqrt(F.expr("vector_dot(v, v)")).as("nrm"))))
+          F.sqrt(F.expr("vector_dot(v, v)")).as("nrm"))
+        .where(F.col("nrm") > 0)))
     AnnIndex(b, v, planes)
   }
 
@@ -118,8 +121,10 @@ object Similarity {
     * by cosine desc, vec_id)`) shuffles AND sorts every scored candidate —
     * Σ|candidates| rows, the tail's scale bottleneck at 10⁹ vectors.
     * Output rows (and rk assignment) are identical; parity + plan shape
-    * are pinned in TopKAggSpec. Assumes non-NaN cosines (norms > 0 —
-    * guaranteed by construction for non-zero embeddings). */
+    * are pinned in TopKAggSpec. Non-NaN cosines are GUARANTEED upstream:
+    * every norms frame feeding the scored joins filters `nrm > 0`
+    * (zero-norm embeddings are excluded in both engines — round-3
+    * verdict #7; PipelineSpec pins the zero-vector case). */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val topk = F.udaf(new graft.functions.TopKCosine(k),
       org.apache.spark.sql.Encoders.product[(Long, Double)])
@@ -162,19 +167,52 @@ object Similarity {
     embedNearDupFrom(buildIndex(emb, seed, tables, planes), threshold)
 
   def embedNearDupFrom(idx: AnnIndex, threshold: Double): DataFrame = {
-    val b = idx.buckets
+    graft.functions.GraftFunctions.register(idx.norms.sparkSession)
     val v = idx.norms
-    val l = b.select(F.col("vec_id").as("da"), F.col("table_id"), F.col("bucket"))
-    val r = b.select(F.col("vec_id").as("db"), F.col("table_id"), F.col("bucket"))
+    // EXACT-DUP COLLAPSE (round-3 verdict "What's missing #1"): one
+    // representative (min vec_id) per DISTINCT embedding enters the bucket
+    // self-join, so Σ|bucket|² is bounded by distinct-vector count — a
+    // corpus with 10⁶ copies of one vector lands ONE row per bucket, not
+    // 10⁶. Identical vectors get identical buckets (bucket is a pure
+    // function of v), so candidate semantics are unchanged; member pairs
+    // are reconstituted by group expansion below. Grouping keys on the raw
+    // array — exact equality, no hash-collision risk.
+    val rep = v.groupBy("v").agg(F.min("vec_id").as("rep"))
+    val groups = v.select(F.col("vec_id"), F.col("v")).join(rep, "v")
+      .select("vec_id", "rep")
+    val repB = idx.buckets
+      .join(groups.where(F.col("vec_id") === F.col("rep")).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+    val l = repB.select(F.col("vec_id").as("ra"), F.col("table_id"), F.col("bucket"))
+    val r = repB.select(F.col("vec_id").as("rb"), F.col("table_id"), F.col("bucket"))
     val cand = l.join(r, Seq("table_id", "bucket"))
-      .where(F.col("da") < F.col("db"))
-      .select("da", "db").distinct()
-    val scored = cand
-      .join(v.select(F.col("vec_id").as("da"), F.col("v").as("va"), F.col("nrm").as("na")), "da")
-      .join(v.select(F.col("vec_id").as("db"), F.col("v").as("vb"), F.col("nrm").as("nb")), "db")
-      .select(F.col("da"), F.col("db"),
+      .where(F.col("ra") < F.col("rb"))
+      .select("ra", "rb").distinct()
+    val repPairs = cand
+      .join(v.select(F.col("vec_id").as("ra"), F.col("v").as("va"), F.col("nrm").as("na")), "ra")
+      .join(v.select(F.col("vec_id").as("rb"), F.col("v").as("vb"), F.col("nrm").as("nb")), "rb")
+      .select(F.col("ra"), F.col("rb"),
         F.round(F.expr("vector_dot(va, vb)") / (F.col("na") * F.col("nb")), 6).as("cosine"))
-    scored.where(F.col("cosine") >= threshold).orderBy("da", "db")
+      .where(F.col("cosine") >= threshold)
+    // cross-group member pairs: identical vectors ⇒ identical cosine, so
+    // the rep pair's value carries over bit-for-bit
+    val cross = repPairs
+      .join(groups.select(F.col("rep").as("ra"), F.col("vec_id").as("ma")), "ra")
+      .join(groups.select(F.col("rep").as("rb"), F.col("vec_id").as("mb")), "rb")
+      .select(F.least(F.col("ma"), F.col("mb")).as("da"),
+        F.greatest(F.col("ma"), F.col("mb")).as("db"), F.col("cosine"))
+    // intra-group member pairs: self-cosine computed HONESTLY from the
+    // rep's vector (same accumulation order as the oracle — ≈1.0 but never
+    // assumed), threshold applied like any other pair
+    val repSelf = v.select(F.col("vec_id").as("rep"),
+        F.round(F.expr("vector_dot(v, v)") / (F.col("nrm") * F.col("nrm")), 6).as("cosine"))
+      .where(F.col("cosine") >= threshold)
+    val intra = groups.select(F.col("rep"), F.col("vec_id").as("da"))
+      .join(groups.select(F.col("rep"), F.col("vec_id").as("db")), "rep")
+      .where(F.col("da") < F.col("db"))
+      .join(repSelf, "rep")
+      .select("da", "db", "cosine")
+    cross.unionByName(intra).orderBy("da", "db")
   }
 
   /** DuckDB oracle for [[embedNearDup]] — same hyperplane VALUES literal,
@@ -191,7 +229,9 @@ object Similarity {
        |v AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |n AS MATERIALIZED (
-       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+       |  SELECT * FROM (
+       |    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)
+       |  WHERE nrm > 0),
        |dots AS (
        |  SELECT v.vec_id, hp.table_id, hp.plane_id,
        |         list_sum(list_transform(range(1, len(hp.w) + 1), i -> hp.w[i] * v.v[i])) AS dot
@@ -234,7 +274,9 @@ object Similarity {
        |v AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |n AS MATERIALIZED (
-       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+       |  SELECT * FROM (
+       |    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v)
+       |  WHERE nrm > 0),
        |dots AS (
        |  SELECT v.vec_id, hp.table_id, hp.plane_id,
        |         list_sum(list_transform(range(1, len(hp.w) + 1), i -> hp.w[i] * v.v[i])) AS dot

@@ -18,6 +18,14 @@ object GraphQueries {
   val LpaRounds = 5
   val TopK = 10
 
+  /** Packed hub-split CSR + CsrExpand codegen is the DEFAULT layout for the
+    * driver's iterative graph queries (round-3 verdict "Next round #5" —
+    * the 3.2×-at-60M-edges layout was bench-only; results are parity-pinned
+    * in CsrExpandSpec and the oracle gate runs against it). Opt out with
+    * `spark.graft.graph.packed=false` to A/B the row layout. */
+  private def packed(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.graph.packed").forall(_.toBoolean)
+
   private def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")
 
@@ -38,13 +46,26 @@ object GraphQueries {
   // The result frame is checkpoint-backed, so caching it is safe.
   private val rankCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  // One triangle computation per (session, dir): g_triangles and
+  // g_tri_pervertex share it — round-3 verdict "What's wrong #1": without
+  // this, each query ran the full wedge join again. The result's frames are
+  // checkpoint-backed (Triangles stages go through the materializer), so
+  // caching the result object is safe, mirroring rankCache.
+  private val triangleCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), TriangleResult]
+
   graft.Caches.register(() => cache.clear())
   graft.Caches.register(() => rankCache.clear())
+  graft.Caches.register(() => triangleCache.clear())
 
   def pageRanks(spark: SparkSession, dir: String): DataFrame =
     rankCache.getOrElseUpdate((spark, dir),
       PageRank.run(graph(spark, dir),
-        PageRankConfig(damping = PrDamping, fixedIters = Some(PrIters))).ranks)
+        PageRankConfig(damping = PrDamping, fixedIters = Some(PrIters),
+          packedAdjacency = packed(spark))).ranks)
+
+  def triangles(spark: SparkSession, dir: String): TriangleResult =
+    triangleCache.getOrElseUpdate((spark, dir), Triangles.run(graph(spark, dir)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_edges" -> ((s, d) =>
@@ -81,18 +102,20 @@ object GraphQueries {
         .limit(TopK)),
 
     "g_cc" -> ((s, d) =>
-      ConnectedComponents.run(graph(s, d)).labels.orderBy("vid")),
+      ConnectedComponents.run(graph(s, d), packedAdjacency = packed(s))
+        .labels.orderBy("vid")),
 
     "g_lpa" -> ((s, d) =>
-      LabelPropagation.run(graph(s, d), maxRounds = LpaRounds).labels.orderBy("vid")),
+      LabelPropagation.run(graph(s, d), maxRounds = LpaRounds,
+        packedAdjacency = packed(s)).labels.orderBy("vid")),
 
     "g_triangles" -> ((s, d) => {
       import s.implicits._
-      Seq(Triangles.run(graph(s, d)).total).toDF("n_triangles")
+      Seq(triangles(s, d).total).toDF("n_triangles")
     }),
 
     "g_tri_pervertex" -> ((s, d) =>
-      Triangles.run(graph(s, d)).perVertex.orderBy("vid"))
+      triangles(s, d).perVertex.orderBy("vid"))
   )
 
   def oracles: Map[String, String] = Map(

@@ -11,13 +11,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Same pigeonhole banding as the batch operator: the 64-bit fingerprint
   * splits into maxHamming+1 = 4 chunks of 16 bits; two hashes within
   * Hamming 3 agree on ≥ 1 chunk, so per-chunk-value state suffices. State
-  * per (chunk_idx, chunk_value) key = the (doc_id, simhash64) list of that
-  * bucket — expected n/65536 entries per chunk at corpus size n, the same
-  * bucket geometry that makes the batch join sub-quadratic.
+  * per (chunk_idx, chunk_value) key = the bucket's members GROUPED BY FULL
+  * HASH (`Map[simhash64 → doc_ids]`) — the round-4 occupancy guard's
+  * streaming face: an arrival does ONE Hamming comparison per DISTINCT
+  * hash in its bucket (bounded by distinct-content count), not one per
+  * member, so a dup-heavy stream (10⁶ copies of one boilerplate page in
+  * one bucket) pays O(1) comparisons per arrival; the per-member work is
+  * exactly the emitted pairs — the output contract itself. Re-ingested
+  * doc_ids are recognized in state and do NOT re-emit or re-append
+  * (round-3 ADVICE: state previously grew and re-emitted on every
+  * re-delivery).
   *
   * A pair agreeing on several chunks is emitted once per agreeing chunk
   * (the keys are independent); downstream consumers dedup on (da, db) —
   * the batch operator's `.distinct()` — which the equivalence test applies.
+  *
+  * State sizing (SURVEY §2.9): member ids must be retained to emit pairs —
+  * 4 entries per doc (one per chunk) ⇒ ~32 B/doc × 4 across the state
+  * store. For long-lived production streams run under the RocksDB state
+  * store provider (state off-heap + spillable, see
+  * [[StreamingDedup.rocksDbConf]]) and/or the watermark-expiring variant.
   */
 object StreamingNearDup {
 
@@ -54,28 +67,33 @@ object StreamingNearDup {
         emitBucket(maxHamming))
   }
 
-  /** Per-bucket incremental pair emission; unit-testable like emitHash. */
+  /** Per-bucket incremental pair emission; unit-testable like emitHash.
+    * State groups the bucket by FULL hash: Hamming work per arrival is one
+    * comparison per distinct hash; members expand only into emitted pairs. */
   def emitBucket(maxHamming: Int)(key: (Int, Long), it: Iterator[BandedDoc],
-                                  state: GroupState[List[HashedDoc]]): Iterator[NearDupPair] = {
+                                  state: GroupState[Map[Long, List[Long]]]): Iterator[NearDupPair] = {
     val arrivals = it.map(b => HashedDoc(b.doc_id, b.simhash64)).toVector
       .sortBy(_.doc_id).distinct
     if (arrivals.isEmpty) return Iterator.empty
-    var seen = state.getOption.getOrElse(Nil)
+    var byHash = state.getOption.getOrElse(Map.empty[Long, List[Long]])
     val out = Vector.newBuilder[NearDupPair]
     arrivals.foreach { d =>
-      // against everything previously seen in this bucket AND earlier
-      // arrivals of this batch (seen grows as the batch drains)
-      seen.foreach { p =>
-        if (p.doc_id != d.doc_id) {
-          val ham = java.lang.Long.bitCount(p.simhash64 ^ d.simhash64)
-          if (ham <= maxHamming)
-            out += NearDupPair(math.min(p.doc_id, d.doc_id),
-              math.max(p.doc_id, d.doc_id), ham)
+      // re-delivery guard: a doc_id already in its hash's member list has
+      // been fully processed — do not re-emit its pairs or re-append it
+      if (!byHash.get(d.simhash64).exists(_.contains(d.doc_id))) {
+        // against everything previously seen in this bucket AND earlier
+        // arrivals of this batch (byHash grows as the batch drains)
+        byHash.foreach { case (h, members) =>
+          val ham = java.lang.Long.bitCount(h ^ d.simhash64)
+          if (ham <= maxHamming) members.foreach { m =>
+            if (m != d.doc_id)
+              out += NearDupPair(math.min(m, d.doc_id), math.max(m, d.doc_id), ham)
+          }
         }
+        byHash = byHash.updated(d.simhash64, d.doc_id :: byHash.getOrElse(d.simhash64, Nil))
       }
-      seen = d :: seen
     }
-    state.update(seen)
+    state.update(byHash)
     out.result().iterator
   }
 }
