@@ -62,10 +62,25 @@ object PageRank {
     * near-fixpoint prior ranks re-converge in a few rounds instead of from
     * 1/N. Vertices absent from the prior run start at 1/N; the vector is
     * renormalized to unit mass. Ignored when a durable resume point exists
-    * (mid-run recovery beats cross-run seeding). */
+    * (mid-run recovery beats cross-run seeding).
+    *
+    * `teleport`: PERSONALIZED PageRank — a one-column (vid) seed frame.
+    * The teleport vector becomes uniform over the seed set instead of
+    * uniform over all vertices: p0 = tele, and each round
+    *
+    *   p_t+1(v) = (1-d)·tele(v) + d·( Σ_{u→v} p_t(u)·w(u,v)/W(u) + D_t·tele(v) )
+    *
+    * with tele(v) = 1/|S| for seeds, 0 otherwise — dangling mass D_t flows
+    * back to the seeds, which is what keeps Σp = 1 under personalization.
+    * The message kernel (and hence all three edge layouts — plain rows,
+    * salted, packed CSR + CsrExpand) is untouched: personalization only
+    * changes the per-vertex base term. `teleport = None` keeps the global
+    * formula on its original expression tree, so uniform-PageRank results
+    * stay bit-identical to prior rounds. */
   def run(graph: LinkGraph, cfg: PageRankConfig = PageRankConfig(),
           mat: Materializer = new LocalMaterializer,
-          warmStart: Option[DataFrame] = None): PageRankResult =
+          warmStart: Option[DataFrame] = None,
+          teleport: Option[DataFrame] = None): PageRankResult =
     IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
       IterativeConf.adaptivePartitions(graph.spark, math.max(graph.numVertices, graph.numEdges))))) {
       val d = cfg.damping
@@ -82,12 +97,28 @@ object PageRank {
         .select(F.col("src"), F.col("dst"), (F.col("w") / F.col("wdeg")).as("p"))
 
       // Vertex metadata (has_out marks non-dangling), partitioned by vid.
-      val vmeta = mat.shared("vmeta",
-        graph.vertices
-          .join(wdeg.select(F.col("src").as("vid")).withColumn("has_out", F.lit(true)),
-                Seq("vid"), "left")
-          .select(F.col("vid"), F.coalesce(F.col("has_out"), F.lit(false)).as("has_out"))
-          .repartition(F.col("vid")), repartitionKeys = Seq("vid"))
+      // Personalized runs carry the per-vertex teleport weight alongside —
+      // 1/|seeds| on the seed set, 0 elsewhere (a one-time broadcast-sized
+      // left join; the seed set is tiny relative to the vertex set).
+      val vmetaBase = graph.vertices
+        .join(wdeg.select(F.col("src").as("vid")).withColumn("has_out", F.lit(true)),
+              Seq("vid"), "left")
+        .select(F.col("vid"), F.coalesce(F.col("has_out"), F.lit(false)).as("has_out"))
+      val vmeta = teleport match {
+        case Some(seedsRaw) =>
+          val seeds = seedsRaw.select("vid").distinct()
+          val ns = seeds.count().toDouble // driver-side dim, one tiny action
+          require(ns > 0, "personalized PageRank requires a non-empty teleport seed set")
+          mat.shared("vmeta_ppr",
+            vmetaBase
+              .join(seeds.withColumn("is_seed", F.lit(true)), Seq("vid"), "left")
+              .select(F.col("vid"), F.col("has_out"),
+                F.when(F.col("is_seed"), F.lit(1.0 / ns)).otherwise(F.lit(0.0)).as("tele"))
+              .repartition(F.col("vid")), repartitionKeys = Seq("vid"))
+        case None =>
+          mat.shared("vmeta", vmetaBase.repartition(F.col("vid")),
+            repartitionKeys = Seq("vid"))
+      }
 
       // Parameter fingerprint for the durable invariants (round-3 ADVICE):
       // a resumed run whose layout knobs changed under the same ckpt dir
@@ -130,18 +161,22 @@ object PageRank {
         case Some((k, df)) =>
           (k, df.select("vid", "rank"), danglingOf(df))
         case None =>
+          // Cold-start vector: uniform 1/N globally, or the teleport vector
+          // itself when personalized (unit mass over the seed set).
+          val coldRank: org.apache.spark.sql.Column =
+            if (teleport.isDefined) F.col("tele") else F.lit(1.0 / n)
           val init = warmStart match {
             case Some(prior) =>
               val filled = vmeta
                 .join(prior.select(F.col("vid"), F.col("rank").as("warm")), Seq("vid"), "left")
                 .select(F.col("vid"),
-                  F.coalesce(F.col("warm"), F.lit(1.0 / n)).as("r0"), F.col("has_out"))
+                  F.coalesce(F.col("warm"), coldRank).as("r0"), F.col("has_out"))
               // renormalize to unit mass (vertex set may have changed)
               val mass = filled.agg(F.sum("r0")).first().getDouble(0)
               filled.select(F.col("vid"), (F.col("r0") / F.lit(mass)).as("rank"),
                 F.lit(0.0).as("prev"), F.col("has_out"))
             case None =>
-              vmeta.select(F.col("vid"), F.lit(1.0 / n).as("rank"),
+              vmeta.select(F.col("vid"), coldRank.as("rank"),
                 F.lit(0.0).as("prev"), F.col("has_out"))
           }
           val committed = mat.iter(0, init, Map("init" -> true))
@@ -182,14 +217,25 @@ object PageRank {
         // per round. With a stable plan source, codegen compiles once for
         // the whole loop.
         val consts = graph.spark.createDataFrame(Seq(Tuple1(dangling))).toDF("dang_mass")
+        // Base-term: global runs keep the ORIGINAL expression tree (so
+        // uniform-PageRank results stay bit-identical run-to-run); the
+        // personalized branch substitutes tele(v) for 1/N in both the
+        // teleport and the dangling-redistribution terms.
+        val rankExpr =
+          if (teleport.isDefined)
+            F.lit(1.0 - d) * F.col("tele") +
+              F.lit(d) * (F.coalesce(F.col("msum"), F.lit(0.0)) +
+                F.col("dang_mass") * F.col("tele"))
+          else
+            F.lit((1.0 - d) / n) +
+              F.lit(d) * (F.coalesce(F.col("msum"), F.lit(0.0)) + F.col("dang_mass") / F.lit(n))
         val next = vmeta
           .join(msgs, Seq("vid"), "left")                     // no exchange
           .join(state.withColumnRenamed("rank", "prev"), "vid") // no exchange
           .crossJoin(F.broadcast(consts))
           .select(
             F.col("vid"),
-            (F.lit((1.0 - d) / n) +
-              F.lit(d) * (F.coalesce(F.col("msum"), F.lit(0.0)) + F.col("dang_mass") / F.lit(n))).as("rank"),
+            rankExpr.as("rank"),
             F.col("prev"),
             F.col("has_out"))
         val committed = mat.iter(iter, next, Map.empty)

@@ -17,6 +17,8 @@ object GraphQueries {
   val PrDamping = 0.85
   val LpaRounds = 5
   val TopK = 10
+  val KCoreK = 3
+  val KCoreRounds = 8
 
   /** Packed hub-split CSR + CsrExpand codegen is the DEFAULT layout for the
     * driver's iterative graph queries (round-3 verdict "Next round #5" —
@@ -64,6 +66,22 @@ object GraphQueries {
         PageRankConfig(damping = PrDamping, fixedIters = Some(PrIters),
           packedAdjacency = packed(spark))).ranks)
 
+  // Personalized PageRank, seeded on the user entities: the "which event
+  // types matter to users" view of the link graph. Same engine, same
+  // packed-CSR default layout — only the teleport vector differs.
+  private val pprCache = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  graft.Caches.register(() => pprCache.clear())
+
+  def pprRanks(spark: SparkSession, dir: String): DataFrame =
+    pprCache.getOrElseUpdate((spark, dir), {
+      val g = graph(spark, dir)
+      val seeds = g.dict.where(F.col("key").startsWith("user:")).select("vid")
+      PageRank.run(g,
+        PageRankConfig(damping = PrDamping, fixedIters = Some(PrIters),
+          packedAdjacency = packed(spark)),
+        teleport = Some(seeds)).ranks
+    })
+
   def triangles(spark: SparkSession, dir: String): TriangleResult =
     triangleCache.getOrElseUpdate((spark, dir), Triangles.run(graph(spark, dir)))
 
@@ -101,6 +119,13 @@ object GraphQueries {
         .orderBy(F.col("rank").desc, F.col("vid"))
         .limit(TopK)),
 
+    "g_ppr" -> ((s, d) =>
+      pprRanks(s, d)
+        .select(F.col("vid"), F.round(F.col("rank"), 7).as("rank")).orderBy("vid")),
+
+    "g_kcore" -> ((s, d) =>
+      KCore.membership(graph(s, d), KCoreK, KCoreRounds).orderBy("vid")),
+
     "g_cc" -> ((s, d) =>
       ConnectedComponents.run(graph(s, d), packedAdjacency = packed(s))
         .labels.orderBy("vid")),
@@ -124,6 +149,8 @@ object GraphQueries {
     "g_degree" -> OracleSql.gDegree,
     "g_pagerank" -> OracleSql.gPageRank(PrIters, PrDamping),
     "g_top_pagerank" -> OracleSql.gTopPageRank(PrIters, PrDamping, TopK),
+    "g_ppr" -> OracleSql.gPpr(PrIters, PrDamping),
+    "g_kcore" -> OracleSql.gKcore(KCoreK, KCoreRounds),
     "g_cc" -> OracleSql.gCc,
     "g_lpa" -> OracleSql.gLpa(LpaRounds),
     "g_triangles" -> OracleSql.gTriangles,

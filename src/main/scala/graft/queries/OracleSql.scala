@@ -103,6 +103,59 @@ object OracleSql {
        |FROM r$iters t JOIN dict d ON d.vid = t.vid
        |ORDER BY round(t.rank, 7) DESC, t.vid LIMIT $k""".stripMargin
 
+  /** Unrolled PERSONALIZED PageRank: teleport uniform over the user-entity
+    * seed set (key LIKE 'user:%'), dangling mass returns to the seeds —
+    * matches graft.algo.PageRank's teleport branch step for step. */
+  def gPpr(iters: Int, damping: Double): String = {
+    def iterCte(k: Int): String =
+      s"""r$k AS MATERIALIZED (
+         |  SELECT v.vid,
+         |         (1.0 - $damping) * v.t + $damping * (coalesce(c.s, 0.0) + dg.m * v.t) AS rank
+         |  FROM tele v
+         |  LEFT JOIN (
+         |    SELECT e.dst AS vid, sum(p.rank * e.weight / od.wdeg) AS s
+         |    FROM edges e
+         |    JOIN r${k - 1} p ON p.vid = e.src
+         |    JOIN odeg od ON od.vid = e.src
+         |    GROUP BY e.dst) c ON c.vid = v.vid
+         |  CROSS JOIN (SELECT coalesce(sum(p.rank), 0.0) AS m
+         |              FROM r${k - 1} p LEFT JOIN odeg od ON od.vid = p.vid
+         |              WHERE od.vid IS NULL) dg
+         |)""".stripMargin
+    s"""WITH $eventEdges,
+       |odeg AS MATERIALIZED (SELECT src AS vid, sum(weight) AS wdeg FROM edges GROUP BY src),
+       |seeds AS MATERIALIZED (SELECT vid FROM dict WHERE key LIKE 'user:%'),
+       |ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+       |tele AS MATERIALIZED (
+       |  SELECT d.vid, CASE WHEN s.vid IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS t
+       |  FROM dict d LEFT JOIN seeds s ON s.vid = d.vid CROSS JOIN ns),
+       |r0 AS MATERIALIZED (SELECT vid, t AS rank FROM tele),
+       |${(1 to iters).map(iterCte).mkString(",\n")}
+       |SELECT vid, round(rank, 7) AS rank FROM r$iters ORDER BY vid""".stripMargin
+  }
+
+  /** Unrolled k-core peel: s_t = vertices whose degree within the subgraph
+    * induced by s_{t-1} is ≥ k; `rounds` rounds (a no-op once the peel hits
+    * its fixpoint) — matches graft.algo.KCore round for round. */
+  def gKcore(k: Int, rounds: Int): String = {
+    def roundCte(t: Int): String =
+      s"""s$t AS MATERIALIZED (
+         |  SELECT e.src AS vid FROM sym e
+         |  JOIN s${t - 1} a ON a.vid = e.src
+         |  JOIN s${t - 1} b ON b.vid = e.dst
+         |  GROUP BY e.src HAVING count(*) >= $k
+         |)""".stripMargin
+    s"""WITH $eventEdges,
+       |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+       |  WHERE src <> dst),
+       |s0 AS MATERIALIZED (SELECT vid FROM dict),
+       |${(1 to rounds).map(roundCte).mkString(",\n")}
+       |SELECT d.vid, (m.vid IS NOT NULL) AS in_core
+       |FROM dict d LEFT JOIN s$rounds m ON m.vid = d.vid
+       |ORDER BY d.vid""".stripMargin
+  }
+
   /** Exact CC labels via recursive min-reachability (label = min vid in the
     * symmetric transitive closure) — the HashMin fixpoint by definition. */
   val gCc: String =

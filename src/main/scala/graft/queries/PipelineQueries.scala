@@ -717,6 +717,124 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ----------------------------------------------- decontamination (round 4)
+
+  val DecontamNgram = 8 // word n-gram width for benchmark overlap
+  val BenchmarkMod = 25 // doc_id % BenchmarkMod == 0 ⇒ benchmark member
+
+  /** Benchmark decontamination — the training-pipeline operator that keeps
+    * eval sets out of the training corpus: flag every training document
+    * sharing at least one word-`DecontamNgram`-gram with the benchmark set.
+    *
+    * The benchmark here is a deterministic corpus slice (doc_id divisible
+    * by BenchmarkMod — a stand-in for MMLU/GSM8K/etc; no external data in
+    * this sandbox). Scale shape: a real benchmark set is FIXED-size (a few
+    * MB of n-grams) while the corpus is 100 TB, so the benchmark n-gram set
+    * is BROADCAST (plan-asserted) and the probe is a map-side hash join
+    * over the exploded training n-grams — no shuffle of the corpus side at
+    * all; the only aggregation is the per-doc hit count, keyed by doc_id.
+    */
+  def dDecontam(s: SparkSession, d: String): DataFrame = {
+    val t = docs(s, d).select(F.col("doc_id"), F.split(F.col("text"), " ").as("words"))
+    def grams(df: DataFrame): DataFrame =
+      df.where(F.size(F.col("words")) >= DecontamNgram)
+        .select(F.col("doc_id"), F.explode(F.expr(
+          s"transform(sequence(0, size(words) - $DecontamNgram), " +
+            s"i -> concat_ws(' ', slice(words, i + 1, $DecontamNgram)))")).as("g"))
+        .distinct()
+    val isBench = F.pmod(F.col("doc_id"), F.lit(BenchmarkMod)) === 0
+    val bench = grams(t.where(isBench)).select("g").distinct()
+    val train = t.where(!isBench)
+    val hits = grams(train).join(F.broadcast(bench), "g")
+      .groupBy("doc_id").agg(F.count(F.lit(1)).as("n_hits"))
+    train.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("n_hits"), F.lit(0L)).as("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val dDecontamSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |g8 AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, array_to_string(words[i+1:i+$DecontamNgram], ' ') AS g
+       |  FROM (SELECT doc_id, words, unnest(range(len(words) - ${DecontamNgram - 1})) AS i
+       |        FROM w WHERE len(words) >= $DecontamNgram)),
+       |bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id % $BenchmarkMod = 0),
+       |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+       |         FROM g8 JOIN bench USING (g)
+       |         WHERE doc_id % $BenchmarkMod <> 0 GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       |       coalesce(h.n_hits, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |WHERE d.doc_id % $BenchmarkMod <> 0
+       |ORDER BY d.doc_id""".stripMargin
+
+  // -------------------------------------------- repetition signals (round 4)
+
+  /** Gopher-style within-document repetition signals — the quality filter
+    * that catches boilerplate/spam which per-row length heuristics miss:
+    *
+    *  - dup_word_frac:   1 − |distinct words| / |words|
+    *  - top_word_frac:   occurrences of the most frequent word / |words|
+    *  - top_bigram_frac: occurrences of the most frequent word bigram
+    *                     / |bigrams|
+    *
+    * Tokens are the same empty-filtered whitespace split the simhash path
+    * uses. Everything is keyed by doc_id — explode → two hash aggregations,
+    * embarrassingly parallel at corpus scale (no cross-document state). The
+    * max-count aggregation needs no tie-break: only the COUNT of the top
+    * item enters the fractions, never its identity. */
+  def dRepetition(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(F.col("doc_id"),
+      F.expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+    val words = toks.select(F.col("doc_id"), F.explode(F.col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(F.count(F.lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        F.sum("c").as("n_words"),
+        F.count(F.lit(1)).as("n_distinct"),
+        F.max("c").as("top_c"))
+    val bigrams = toks.where(F.size(F.col("ws")) >= 2)
+      .select(F.col("doc_id"), F.explode(F.expr(
+        "transform(sequence(0, size(ws) - 2), i -> concat_ws(' ', slice(ws, i + 1, 2)))")).as("b"))
+      .groupBy("doc_id", "b").agg(F.count(F.lit(1)).as("c"))
+      .groupBy("doc_id").agg(F.sum("c").as("n_bigrams"), F.max("c").as("top_bc"))
+    docs(s, d).select("doc_id")
+      .join(words, Seq("doc_id"), "left")
+      .join(bigrams, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("n_words"), F.lit(0L)).as("n_words"),
+        F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6).as("dup_word_frac"),
+        F.round(F.col("top_c") / F.col("n_words"), 6).as("top_word_frac"),
+        F.round(F.col("top_bc") / F.col("n_bigrams"), 6).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val dRepetitionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+      |  FROM documents),
+      |wc AS (SELECT doc_id, w, count(*) AS c
+      |       FROM (SELECT doc_id, unnest(ws) AS w FROM toks) GROUP BY doc_id, w),
+      |words AS (SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct, max(c) AS top_c
+      |          FROM wc GROUP BY doc_id),
+      |bg AS (SELECT doc_id, b, count(*) AS c
+      |       FROM (SELECT doc_id, ws[i+1] || ' ' || ws[i+2] AS b
+      |             FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+      |                   FROM toks WHERE len(ws) >= 2))
+      |       GROUP BY doc_id, b),
+      |bigrams AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bc
+      |            FROM bg GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(coalesce(w.n_words, 0) AS BIGINT) AS n_words,
+      |       round(1.0 - CAST(w.n_distinct AS DOUBLE) / w.n_words, 6) AS dup_word_frac,
+      |       round(CAST(w.top_c AS DOUBLE) / w.n_words, 6) AS top_word_frac,
+      |       round(CAST(b.top_bc AS DOUBLE) / b.n_bigrams, 6) AS top_bigram_frac
+      |FROM documents d
+      |LEFT JOIN words w ON w.doc_id = d.doc_id
+      |LEFT JOIN bigrams b ON b.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------------------------------------ similarity
 
   def eCosineTopk(s: SparkSession, d: String): DataFrame = {
@@ -842,6 +960,8 @@ object PipelineQueries {
     "d_quality" -> (dQuality _),
     "d_tokens" -> (dTokens _),
     "d_fingerprint" -> (dFingerprint _),
+    "d_decontam" -> (dDecontam _),
+    "d_repetition" -> (dRepetition _),
     "e_cosine_topk" -> (eCosineTopk _),
     // LSH-bucketed ANN, the scale path of e_cosine_topk; hyperplanes are
     // deterministic, so the bucket assignment + top-k has a full DuckDB
@@ -897,6 +1017,8 @@ object PipelineQueries {
     "d_quality" -> dQualitySql,
     "d_tokens" -> dTokensSql,
     "d_fingerprint" -> dFingerprintSql,
+    "d_decontam" -> dDecontamSql,
+    "d_repetition" -> dRepetitionSql,
     "e_cosine_topk" -> eCosineTopkSql,
     "e_ann_lsh" -> graft.pipeline.Similarity.annLshSql(AnnQueries, AnnK, AnnDim,
       planes = oraclePlanes),
