@@ -40,11 +40,14 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <pagerank|cc|lpa|triangles|dedup|ann> ...
+    """usage: graft.Main <pagerank|ppr|cc|lpa|triangles|kcore|dedup|ann> ...
       |graph commands: [--input P|--events P|--conv N]
       |  [--seed 42] [--out DIR] [--ckpt DIR] [--resume] [--tol 1e-6]
       |  [--damping 0.85] [--max-iters 100] [--rounds 10] [--local N]
       |  [--algo hashmin|star]  (cc only)
+      |  [--seed-prefix user:|--seeds P]  (ppr: teleport set — entity-key
+      |               prefix over the dict, or a (vid) parquet)
+      |  [--k 3] [--max-rounds 8]  (kcore)
       |  [--packed]  (pagerank|cc|lpa: hub-split CSR layout + CsrExpand operator)
       |  [--warm P]  (pagerank / cc hashmin: seed from a prior run's --out dir —
       |               ranks/labels are remapped onto the current graph's ids via
@@ -210,6 +213,33 @@ object Main {
         write(r.ranks.orderBy(F.col("rank").desc, F.col("vid")), "ranks")
         writeDict()
         println(s"""{"cmd":"pagerank","iterations":${r.iterations},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "ppr" =>
+        // Personalized PageRank: teleport uniform over a seed set — by
+        // entity-key prefix (default: the user entities) or an explicit
+        // (vid) parquet. Same engine/layouts as pagerank.
+        val seeds = opts.get("seeds") match {
+          case Some(p) => spark.read.parquet(p).select("vid")
+          case None =>
+            val prefix = opts.getOrElse("seed-prefix", "user:")
+            graph.dict.where(F.col("key").startsWith(prefix)).select("vid")
+        }
+        val r = PageRank.run(graph,
+          PageRankConfig(
+            damping = opts.getOrElse("damping", "0.85").toDouble,
+            tol = opts.getOrElse("tol", "1e-6").toDouble,
+            maxIters = opts.getOrElse("max-iters", "100").toInt,
+            packedAdjacency = opts.contains("packed")),
+          materializer(spark, opts, "ppr"),
+          teleport = Some(seeds))
+        write(r.ranks.orderBy(F.col("rank").desc, F.col("vid")), "ranks")
+        writeDict()
+        println(s"""{"cmd":"ppr","iterations":${r.iterations},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "kcore" =>
+        val k = opts.getOrElse("k", "3").toInt
+        val r = KCore.run(graph, k, opts.getOrElse("max-rounds", "8").toInt)
+        write(r.members.orderBy("vid"), "kcore")
+        writeDict()
+        println(s"""{"cmd":"kcore","k":$k,"rounds":${r.rounds},"converged":${r.converged},"members":${r.members.count()},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "cc" =>
         // --algo star: small-star/large-star contraction — O(log n) rounds,
         // for deep graphs; default HashMin (rounds ≈ diameter) wins on
