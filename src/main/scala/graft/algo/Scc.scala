@@ -1,0 +1,152 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+import graft.graph.LinkGraph
+
+/** Strongly connected components — SURVEY.md §2.10 (round 4).
+  *
+  * Contract: `label(v)` = min vid in v's SCC (v→*u AND u→*v) — like the
+  * HashMin CC label, order-independent and therefore EXACT-comparable
+  * against a closed-form reachability oracle; no round-count coupling.
+  *
+  * Algorithm: the classic distributed coloring / FW-BW-style SCC
+  * (Orzan-style min-label coloring):
+  *
+  *  1. COLOR — propagate min vid along FORWARD edges to fixpoint:
+  *     color(v) = min{u : u →* v} (v included). One HashMin-shaped
+  *     shuffle per round, rounds ≈ remaining diameter.
+  *  2. ROOTS — classes whose color equals their own id. A root's color
+  *     class is closed under paths back to the root (if color(v) = c and
+  *     v →* c, every vertex on that path has color c — see proof sketch
+  *     in the scaladoc of [[markPhase]]), so:
+  *  3. MARK — backward-propagate (reverse edges, SAME-color constraint)
+  *     from each root to fixpoint: marked(v, c) ⇔ color(v) = c ∧ v →* c.
+  *     Marked vertices form SCC(c); label them c and REMOVE them.
+  *  4. Repeat on the remaining subgraph. Every phase removes at least the
+  *     global-min-vid root's SCC, so the outer loop terminates; in
+  *     practice phase count is small (each phase peels every root class).
+  *
+  * Scale shape: all three loops are the engine's one-shuffle-per-round
+  * message-passing kernel (join on a key + min/exists aggregation), over
+  * a monotonically SHRINKING vertex/edge set; each round is
+  * checkpoint-truncated (SURVEY §4.4). Singleton SCCs (the common case on
+  * user→etype star edges) all resolve in phase 1 as self-roots.
+  */
+object Scc {
+
+  final case class SccResult(labels: DataFrame, phases: Int, converged: Boolean)
+
+  def run(graph: LinkGraph, maxPhases: Int = 20, maxRounds: Int = 200): SccResult = {
+    val spark = graph.spark
+    import spark.implicits._
+
+    var edges = graph.directed.where(F.col("src") =!= F.col("dst"))
+      .localCheckpoint(true) // (src, dst) distinct
+    var verts = graph.vertices.localCheckpoint(true) // (vid)
+    var labeled: DataFrame = Seq.empty[(Long, Long)].toDF("vid", "label")
+    var phases = 0
+    var remaining = verts.count()
+
+    while (remaining > 0 && phases < maxPhases) {
+      phases += 1
+
+      // -- 0. TRIM to fixpoint: a vertex with no in-edge or no out-edge in
+      // the remaining subgraph cannot sit on a cycle — it is a singleton
+      // SCC. Iterated, this peels entire DAG peripheries (e.g. every
+      // user→etype source vertex) without paying a single coloring round.
+      var trimming = true
+      while (trimming && remaining > 0) {
+        val hasOut = edges.select(F.col("src").as("vid")).distinct()
+        val hasIn = edges.select(F.col("dst").as("vid")).distinct()
+        val core = verts
+          .join(hasOut, Seq("vid"), "left_semi")
+          .join(hasIn, Seq("vid"), "left_semi")
+          .localCheckpoint(true)
+        val nCore = core.count()
+        if (nCore == remaining) trimming = false
+        else {
+          val singles = verts.join(core, Seq("vid"), "left_anti")
+            .select(F.col("vid"), F.col("vid").as("label"))
+          labeled = labeled.unionByName(singles).localCheckpoint(true)
+          verts = core
+          edges = edges
+            .join(core.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+            .join(core.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
+            .select("src", "dst").localCheckpoint(true)
+          remaining = nCore
+        }
+      }
+      if (remaining == 0) {
+        return SccResult(labeled.withColumnRenamed("label", "scc_label"),
+          phases, converged = true)
+      }
+
+      // -- 1. forward min-color fixpoint: color(v) = min{u : u →* v} ∪ {v}
+      var color = verts.select(F.col("vid"), F.col("vid").as("color"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < maxRounds) {
+        rounds += 1
+        val msgs = edges.join(color.withColumnRenamed("vid", "src"), "src")
+          .groupBy(F.col("dst").as("vid")).agg(F.min("color").as("mc"))
+        val next = color.join(msgs, Seq("vid"), "left")
+          .select(F.col("vid"),
+            F.least(F.col("color"), F.coalesce(F.col("mc"), F.col("color"))).as("color"))
+          .localCheckpoint(true)
+        changed = next.join(color.withColumnRenamed("color", "old"), "vid")
+          .where(F.col("color") =!= F.col("old")).count()
+        color = next
+      }
+
+      // -- 2+3. backward same-color containment from the roots
+      val scc = markPhase(edges, color, maxRounds)
+
+      // -- 4. peel the labeled SCCs off and continue
+      labeled = labeled.unionByName(scc).localCheckpoint(true)
+      verts = verts.join(scc, Seq("vid"), "left_anti").localCheckpoint(true)
+      edges = edges
+        .join(verts.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+        .join(verts.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst").localCheckpoint(true)
+      remaining = verts.count()
+    }
+    SccResult(labeled.withColumnRenamed("label", "scc_label"),
+      phases, converged = remaining == 0)
+  }
+
+  /** marked(v, c) ⇔ color(v) = c ∧ v →* c, computed by reverse-edge
+    * propagation restricted to same-color vertices. Why the restriction is
+    * sound: color(v) = c means c →* v; if additionally v →* c then v and c
+    * are mutually reachable (one SCC), and EVERY vertex w on a v→c path
+    * satisfies c →* w (via v) and w →* c, so w's color is exactly c —
+    * were color(w) = c' < c, then c' →* w →* c would force color(c) ≤ c'
+    * < c, contradicting c being a root. Hence backward paths from c never
+    * need to leave the color class, and crossing classes would only mark
+    * vertices provably outside SCC(c). */
+  private def markPhase(edges: DataFrame, color: DataFrame,
+                        maxRounds: Int): DataFrame = {
+    var mark = color.where(F.col("vid") === F.col("color"))
+      .select(F.col("vid"), F.col("color")).localCheckpoint(true)
+    var n = mark.count()
+    var grown = true
+    var rounds = 0
+    while (grown && rounds < maxRounds) {
+      rounds += 1
+      // u joins SCC(c) when some marked v has an edge u→v and color(u) = c
+      val cand = edges
+        .join(mark.withColumnRenamed("vid", "dst"), "dst")
+        .select(F.col("src").as("vid"), F.col("color"))
+        .join(color.withColumnRenamed("color", "c2"), "vid")
+        .where(F.col("color") === F.col("c2"))
+        .select("vid", "color")
+      val next = mark.unionByName(cand).distinct().localCheckpoint(true)
+      val n2 = next.count()
+      grown = n2 > n
+      n = n2
+      mark = next
+    }
+    mark.select(F.col("vid"), F.col("color").as("label"))
+  }
+}

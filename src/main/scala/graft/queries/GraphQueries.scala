@@ -126,6 +126,12 @@ object GraphQueries {
     "g_kcore" -> ((s, d) =>
       KCore.membership(graph(s, d), KCoreK, KCoreRounds).orderBy("vid")),
 
+    "g_scc" -> ((s, d) => {
+      val r = Scc.run(graph(s, d))
+      require(r.converged, s"SCC did not converge in ${r.phases} phases")
+      r.labels.orderBy("vid")
+    }),
+
     "g_cc" -> ((s, d) =>
       ConnectedComponents.run(graph(s, d), packedAdjacency = packed(s))
         .labels.orderBy("vid")),
@@ -151,6 +157,7 @@ object GraphQueries {
     "g_top_pagerank" -> OracleSql.gTopPageRank(PrIters, PrDamping, TopK),
     "g_ppr" -> OracleSql.gPpr(PrIters, PrDamping),
     "g_kcore" -> OracleSql.gKcore(KCoreK, KCoreRounds),
+    "g_scc" -> OracleSql.gScc,
     "g_cc" -> OracleSql.gCc,
     "g_lpa" -> OracleSql.gLpa(LpaRounds),
     "g_triangles" -> OracleSql.gTriangles,

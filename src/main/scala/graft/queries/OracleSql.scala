@@ -156,6 +156,27 @@ object OracleSql {
        |ORDER BY d.vid""".stripMargin
   }
 
+  /** Exact SCC labels, closed-form: label(v) = min u with v→*u AND u→*v —
+    * forward and backward transitive closures intersected. No round-count
+    * coupling with the engine's coloring algorithm; both compute the same
+    * well-defined fixpoint. */
+  val gScc: String =
+    s"""WITH RECURSIVE $eventEdges,
+       |de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+       |fwd AS (
+       |  SELECT vid, vid AS r FROM dict
+       |  UNION
+       |  SELECT fwd.vid, de.dst AS r FROM fwd JOIN de ON de.src = fwd.r
+       |),
+       |bwd AS (
+       |  SELECT vid, vid AS r FROM dict
+       |  UNION
+       |  SELECT bwd.vid, de.src AS r FROM bwd JOIN de ON de.dst = bwd.r
+       |)
+       |SELECT f.vid, min(f.r) AS scc_label
+       |FROM fwd f JOIN bwd b ON b.vid = f.vid AND b.r = f.r
+       |GROUP BY f.vid ORDER BY f.vid""".stripMargin
+
   /** Exact CC labels via recursive min-reachability (label = min vid in the
     * symmetric transitive closure) — the HashMin fixpoint by definition. */
   val gCc: String =

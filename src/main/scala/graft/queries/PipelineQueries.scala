@@ -835,6 +835,52 @@ object PipelineQueries {
       |LEFT JOIN bigrams b ON b.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------- unigram LM quality score (round 4)
+
+  val VocabCap = 65536 // top-V corpus words kept in the broadcast vocab
+
+  /** Corpus-unigram log-probability score — the cheap stand-in for the
+    * KenLM-perplexity quality filter every training pipeline runs: score =
+    * mean over the document's tokens of −ln p(w), p(w) = corpus count /
+    * corpus total. Low score ⇒ stereotyped high-frequency text; high ⇒
+    * rare-token soup. Out-of-vocabulary tokens (beyond the top-`VocabCap`
+    * words, deterministic count-desc/word-asc order) take the floor
+    * p = 1/total.
+    *
+    * Scale shape: the real vocabulary table is Zipf-truncated to VocabCap
+    * rows (a few MB) and BROADCAST — the exploded corpus tokens probe it
+    * map-side, then one doc_id-keyed aggregation; no corpus-side shuffle
+    * beyond the per-doc agg, and the corpus-wide count that BUILDS the
+    * vocab is a plain word-keyed hash agg (hot words partial-aggregate
+    * map-side, the classic word-count shape). */
+  def dUnigramLp(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(F.col("doc_id"),
+      F.explode(F.expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+    val counts = toks.groupBy("w").agg(F.count(F.lit(1)).as("c"))
+    val total = counts.agg(F.sum("c")).first().getLong(0).toDouble // driver dim
+    val vocab = counts.orderBy(F.col("c").desc, F.col("w")).limit(VocabCap)
+    toks.join(F.broadcast(vocab), Seq("w"), "left")
+      .select(F.col("doc_id"),
+        (-F.log(F.coalesce(F.col("c"), F.lit(1L)) / F.lit(total))).as("nll"))
+      .groupBy("doc_id")
+      .agg(F.round(F.avg("nll"), 6).as("unigram_nll"),
+        F.count(F.lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val dUnigramLpSql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+       |  FROM documents),
+       |counts AS MATERIALIZED (SELECT w, count(*) AS c FROM toks GROUP BY w),
+       |total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts),
+       |vocab AS (SELECT w, c FROM counts ORDER BY c DESC, w LIMIT $VocabCap)
+       |SELECT t.doc_id,
+       |       round(avg(-ln(coalesce(v.c, 1) / tt.t)), 6) AS unigram_nll,
+       |       CAST(count(*) AS BIGINT) AS n_tokens
+       |FROM toks t LEFT JOIN vocab v ON v.w = t.w CROSS JOIN total tt
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   // ------------------------------------------------------------ similarity
 
   def eCosineTopk(s: SparkSession, d: String): DataFrame = {
@@ -962,6 +1008,7 @@ object PipelineQueries {
     "d_fingerprint" -> (dFingerprint _),
     "d_decontam" -> (dDecontam _),
     "d_repetition" -> (dRepetition _),
+    "d_unigram_lp" -> (dUnigramLp _),
     "e_cosine_topk" -> (eCosineTopk _),
     // LSH-bucketed ANN, the scale path of e_cosine_topk; hyperplanes are
     // deterministic, so the bucket assignment + top-k has a full DuckDB
@@ -1019,6 +1066,7 @@ object PipelineQueries {
     "d_fingerprint" -> dFingerprintSql,
     "d_decontam" -> dDecontamSql,
     "d_repetition" -> dRepetitionSql,
+    "d_unigram_lp" -> dUnigramLpSql,
     "e_cosine_topk" -> eCosineTopkSql,
     "e_ann_lsh" -> graft.pipeline.Similarity.annLshSql(AnnQueries, AnnK, AnnDim,
       planes = oraclePlanes),

@@ -92,6 +92,42 @@ class RoundFourOpsSpec extends SparkSpec {
     assert(capped.members.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("SCC: two 3-cycles with a one-way bridge get per-cycle min labels") {
+    val g = graphOf(6, Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L), (2L, 3L)))
+    val r = Scc.run(g)
+    assert(r.converged)
+    val labels = r.labels.orderBy("vid").as[(Long, Long)].collect().map(_._2)
+    assert(labels.toSeq == Seq(0L, 0L, 0L, 3L, 3L, 3L))
+  }
+
+  test("SCC: a directed chain is all singletons") {
+    val g = graphOf(4, Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    val r = Scc.run(g)
+    assert(r.converged)
+    val labels = r.labels.orderBy("vid").as[(Long, Long)].collect().map(_._2)
+    assert(labels.toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("SCC: cycle + tail + entry — only the cycle is one component") {
+    // 4 → (0 → 1 → 2 → 0) → 3 ; 5 isolated-ish (5 → 4)
+    val g = graphOf(6, Seq((4L, 0L), (0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (5L, 4L)))
+    val r = Scc.run(g)
+    assert(r.converged)
+    val labels = r.labels.orderBy("vid").as[(Long, Long)].collect().map(_._2)
+    assert(labels.toSeq == Seq(0L, 0L, 0L, 3L, 4L, 5L))
+  }
+
+  test("SCC on a symmetrized graph equals HashMin CC labels") {
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (2L, 5L), (6L, 3L))
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val g = graphOf(7, sym)
+    val scc = Scc.run(g).labels.orderBy("vid").as[(Long, Long)].collect().map(_._2)
+    val cc = ConnectedComponents.run(g).labels.orderBy("vid")
+      .as[(Long, Long)].collect().map(_._2)
+    assert(scc.toSeq == cc.toSeq)
+  }
+
   private def writeDocs(rows: Seq[(Long, String)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-r4docs").toString
     rows.toDF("doc_id", "text").write.mode("overwrite")
@@ -117,6 +153,19 @@ class RoundFourOpsSpec extends SparkSpec {
     val dir = writeDocs(Seq(0L -> bench, 1L -> bench))
     val plan = PipelineQueries.dDecontam(spark, dir)
       .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("unigram LM score: exact hand-computed NLL, broadcast vocab probe") {
+    // counts: a:2, b:2, c:1; total 5 → p(a)=p(b)=0.4, p(c)=0.2
+    val dir = writeDocs(Seq(0L -> "a a b", 1L -> "b c"))
+    val q = PipelineQueries.dUnigramLp(spark, dir)
+    val out = q.as[(Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, BigDecimal(-math.log(0.4)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 3L),
+      (1L, BigDecimal((-math.log(0.4) - math.log(0.2)) / 2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 2L)))
+    val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
