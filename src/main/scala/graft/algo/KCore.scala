@@ -30,12 +30,11 @@ object KCore {
   final case class KCoreResult(members: DataFrame, rounds: Int, converged: Boolean)
 
   def run(graph: LinkGraph, k: Int, maxRounds: Int = 8): KCoreResult = {
+    val fl = new FlatLoop(graph.spark)
     // Undirected distinct neighbor pairs, self-loops dropped: degree below
     // is |distinct neighbors|, mirroring the LPA sym frame and the oracle.
-    val sym = graph.symmetrized.where(F.col("src") =!= F.col("dst"))
-      .localCheckpoint(true)
-
-    var alive = sym
+    var alive = fl.ckpt("alive",
+      graph.symmetrized.where(F.col("src") =!= F.col("dst")))
     var lastKeep: DataFrame = graph.vertices
     var nAlive = -1L
     var rounds = 0
@@ -44,14 +43,13 @@ object KCore {
       rounds += 1
       // survivors this round: degree within the current subgraph ≥ k.
       // (sym is a distinct pair set, so count-by-src IS the degree.)
-      val keep = alive.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
-        .where(F.col("deg") >= k).select(F.col("src").as("vid"))
-        .localCheckpoint(true)
-      val next = alive
+      val keep = fl.ckpt("keep",
+        alive.groupBy("src").agg(F.count(F.lit(1)).as("deg"))
+          .where(F.col("deg") >= k).select(F.col("src").as("vid")))
+      val next = fl.ckpt("alive", alive
         .join(keep.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
-        .select("src", "dst")
-        .localCheckpoint(true) // lineage barrier per round (SURVEY §4.4)
+        .select("src", "dst")) // lineage barrier per round (SURVEY §4.4)
       val n = next.count()
       // edge set is monotone-shrinking, so equal count ⇒ equal set ⇒
       // every subsequent peel is a no-op (keep is then exactly the
@@ -60,6 +58,7 @@ object KCore {
       nAlive = n
       alive = next
       lastKeep = keep
+      fl.sweep("alive", "keep") // keep's latest gen (the result) survives
     }
     KCoreResult(lastKeep, rounds, converged)
   }

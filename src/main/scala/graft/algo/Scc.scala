@@ -13,13 +13,16 @@ import graft.graph.LinkGraph
   * Algorithm: the classic distributed coloring / FW-BW-style SCC
   * (Orzan-style min-label coloring):
   *
+  *  0. TRIM — iterate: a vertex with no in-edge or no out-edge in the
+  *     remaining subgraph cannot sit on a cycle ⇒ singleton SCC. Peels
+  *     whole DAG peripheries (every user→etype source vertex) for the
+  *     cost of two semi-joins per pass, no fixpoint rounds.
   *  1. COLOR — propagate min vid along FORWARD edges to fixpoint:
   *     color(v) = min{u : u →* v} (v included). One HashMin-shaped
   *     shuffle per round, rounds ≈ remaining diameter.
   *  2. ROOTS — classes whose color equals their own id. A root's color
-  *     class is closed under paths back to the root (if color(v) = c and
-  *     v →* c, every vertex on that path has color c — see proof sketch
-  *     in the scaladoc of [[markPhase]]), so:
+  *     class is closed under paths back to the root (proof sketch at
+  *     [[markPhase]]), so:
   *  3. MARK — backward-propagate (reverse edges, SAME-color constraint)
   *     from each root to fixpoint: marked(v, c) ⇔ color(v) = c ∧ v →* c.
   *     Marked vertices form SCC(c); label them c and REMOVE them.
@@ -27,11 +30,11 @@ import graft.graph.LinkGraph
   *     global-min-vid root's SCC, so the outer loop terminates; in
   *     practice phase count is small (each phase peels every root class).
   *
-  * Scale shape: all three loops are the engine's one-shuffle-per-round
-  * message-passing kernel (join on a key + min/exists aggregation), over
-  * a monotonically SHRINKING vertex/edge set; each round is
-  * checkpoint-truncated (SURVEY §4.4). Singleton SCCs (the common case on
-  * user→etype star edges) all resolve in phase 1 as self-roots.
+  * Scale shape: all loops are the engine's one-shuffle-per-round
+  * message-passing kernel (join on a key + min/exists aggregation) over a
+  * monotonically SHRINKING vertex/edge set. Every frame goes through
+  * FlatCheckpoint via [[FlatLoop]] (lineage truncated each round, prior
+  * generations' blocks reclaimed at round end — SURVEY §4.4).
   */
 object Scc {
 
@@ -40,77 +43,79 @@ object Scc {
   def run(graph: LinkGraph, maxPhases: Int = 20, maxRounds: Int = 200): SccResult = {
     val spark = graph.spark
     import spark.implicits._
+    val fl = new FlatLoop(spark)
 
-    var edges = graph.directed.where(F.col("src") =!= F.col("dst"))
-      .localCheckpoint(true) // (src, dst) distinct
-    var verts = graph.vertices.localCheckpoint(true) // (vid)
-    var labeled: DataFrame = Seq.empty[(Long, Long)].toDF("vid", "label")
+    var edges = fl.ckpt("edges",
+      graph.directed.where(F.col("src") =!= F.col("dst"))) // (src, dst) distinct
+    var verts = fl.ckpt("verts", graph.vertices) // (vid)
+    var labeled: DataFrame = fl.ckpt("labeled",
+      Seq.empty[(Long, Long)].toDF("vid", "label"))
     var phases = 0
     var remaining = verts.count()
 
     while (remaining > 0 && phases < maxPhases) {
       phases += 1
 
-      // -- 0. TRIM to fixpoint: a vertex with no in-edge or no out-edge in
-      // the remaining subgraph cannot sit on a cycle — it is a singleton
-      // SCC. Iterated, this peels entire DAG peripheries (e.g. every
-      // user→etype source vertex) without paying a single coloring round.
+      // -- 0. TRIM to fixpoint
       var trimming = true
       while (trimming && remaining > 0) {
         val hasOut = edges.select(F.col("src").as("vid")).distinct()
         val hasIn = edges.select(F.col("dst").as("vid")).distinct()
-        val core = verts
+        val core = fl.ckpt("verts", verts
           .join(hasOut, Seq("vid"), "left_semi")
-          .join(hasIn, Seq("vid"), "left_semi")
-          .localCheckpoint(true)
+          .join(hasIn, Seq("vid"), "left_semi"))
         val nCore = core.count()
-        if (nCore == remaining) trimming = false
-        else {
+        if (nCore == remaining) {
+          // fixpoint: core is row-identical to verts — rebind before the
+          // sweep frees the older generation's blocks
+          verts = core
+          trimming = false
+        } else {
           val singles = verts.join(core, Seq("vid"), "left_anti")
             .select(F.col("vid"), F.col("vid").as("label"))
-          labeled = labeled.unionByName(singles).localCheckpoint(true)
+          labeled = fl.ckpt("labeled", labeled.unionByName(singles))
           verts = core
-          edges = edges
+          edges = fl.ckpt("edges", edges
             .join(core.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
             .join(core.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
-            .select("src", "dst").localCheckpoint(true)
+            .select("src", "dst"))
           remaining = nCore
         }
+        fl.sweep("verts", "labeled", "edges")
       }
-      if (remaining == 0) {
+      if (remaining == 0)
         return SccResult(labeled.withColumnRenamed("label", "scc_label"),
           phases, converged = true)
-      }
 
       // -- 1. forward min-color fixpoint: color(v) = min{u : u →* v} ∪ {v}
-      var color = verts.select(F.col("vid"), F.col("vid").as("color"))
-        .localCheckpoint(true)
+      var color = fl.ckpt("color", verts.select(F.col("vid"), F.col("vid").as("color")))
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < maxRounds) {
         rounds += 1
         val msgs = edges.join(color.withColumnRenamed("vid", "src"), "src")
           .groupBy(F.col("dst").as("vid")).agg(F.min("color").as("mc"))
-        val next = color.join(msgs, Seq("vid"), "left")
+        val next = fl.ckpt("color", color.join(msgs, Seq("vid"), "left")
           .select(F.col("vid"),
-            F.least(F.col("color"), F.coalesce(F.col("mc"), F.col("color"))).as("color"))
-          .localCheckpoint(true)
+            F.least(F.col("color"), F.coalesce(F.col("mc"), F.col("color"))).as("color")))
         changed = next.join(color.withColumnRenamed("color", "old"), "vid")
           .where(F.col("color") =!= F.col("old")).count()
         color = next
+        fl.sweep("color")
       }
 
       // -- 2+3. backward same-color containment from the roots
-      val scc = markPhase(edges, color, maxRounds)
+      val scc = markPhase(fl, edges, color, maxRounds)
 
       // -- 4. peel the labeled SCCs off and continue
-      labeled = labeled.unionByName(scc).localCheckpoint(true)
-      verts = verts.join(scc, Seq("vid"), "left_anti").localCheckpoint(true)
-      edges = edges
+      labeled = fl.ckpt("labeled", labeled.unionByName(scc))
+      verts = fl.ckpt("verts", verts.join(scc, Seq("vid"), "left_anti"))
+      edges = fl.ckpt("edges", edges
         .join(verts.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
         .join(verts.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
-        .select("src", "dst").localCheckpoint(true)
+        .select("src", "dst"))
       remaining = verts.count()
+      fl.sweep("verts", "labeled", "edges", "color", "mark")
     }
     SccResult(labeled.withColumnRenamed("label", "scc_label"),
       phases, converged = remaining == 0)
@@ -125,10 +130,10 @@ object Scc {
     * < c, contradicting c being a root. Hence backward paths from c never
     * need to leave the color class, and crossing classes would only mark
     * vertices provably outside SCC(c). */
-  private def markPhase(edges: DataFrame, color: DataFrame,
+  private def markPhase(fl: FlatLoop, edges: DataFrame, color: DataFrame,
                         maxRounds: Int): DataFrame = {
-    var mark = color.where(F.col("vid") === F.col("color"))
-      .select(F.col("vid"), F.col("color")).localCheckpoint(true)
+    var mark = fl.ckpt("mark", color.where(F.col("vid") === F.col("color"))
+      .select(F.col("vid"), F.col("color")))
     var n = mark.count()
     var grown = true
     var rounds = 0
@@ -141,11 +146,12 @@ object Scc {
         .join(color.withColumnRenamed("color", "c2"), "vid")
         .where(F.col("color") === F.col("c2"))
         .select("vid", "color")
-      val next = mark.unionByName(cand).distinct().localCheckpoint(true)
+      val next = fl.ckpt("mark", mark.unionByName(cand).distinct())
       val n2 = next.count()
       grown = n2 > n
       n = n2
       mark = next
+      fl.sweep("mark")
     }
     mark.select(F.col("vid"), F.col("color").as("label"))
   }

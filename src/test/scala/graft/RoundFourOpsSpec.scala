@@ -128,6 +128,83 @@ class RoundFourOpsSpec extends SparkSpec {
     assert(scc.toSeq == cc.toSeq)
   }
 
+  /** In-driver Tarjan SCC oracle: label = min vid per component. */
+  private def tarjanLabels(n: Int, edges: Seq[(Long, Long)]): Array[Long] = {
+    val adj = Array.fill(n)(List.empty[Int])
+    edges.foreach { case (a, b) => adj(a.toInt) ::= b.toInt }
+    val index = Array.fill(n)(-1); val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n); val label = new Array[Long](n)
+    var stack = List.empty[Int]; var idx = 0
+    def strongConnect(v0: Int): Unit = {
+      // iterative Tarjan (explicit work stack; no JVM recursion limit)
+      var work = List((v0, adj(v0)))
+      index(v0) = idx; low(v0) = idx; idx += 1; stack ::= v0; onStack(v0) = true
+      while (work.nonEmpty) {
+        val (v, rest) = work.head
+        rest match {
+          case w :: tail =>
+            work = (v, tail) :: work.tail
+            if (index(w) == -1) {
+              index(w) = idx; low(w) = idx; idx += 1; stack ::= w; onStack(w) = true
+              work = (w, adj(w)) :: work
+            } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+          case Nil =>
+            work = work.tail
+            work.headOption.foreach { case (p, _) => low(p) = math.min(low(p), low(v)) }
+            if (low(v) == index(v)) {
+              var comp = List.empty[Int]; var done = false
+              while (!done) {
+                val w = stack.head; stack = stack.tail; onStack(w) = false
+                comp ::= w; done = w == v
+              }
+              val m = comp.min.toLong
+              comp.foreach(w => label(w) = m)
+            }
+        }
+      }
+    }
+    (0 until n).foreach(v => if (index(v) == -1) strongConnect(v))
+    label
+  }
+
+  test("SCC matches an in-driver Tarjan oracle on random directed graphs") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 10 + trial * 6
+      val m = n * 2
+      val edges = Seq.fill(m)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val g = graphOf(n, edges)
+      val r = Scc.run(g)
+      assert(r.converged, s"trial $trial did not converge")
+      val got = r.labels.orderBy("vid").as[(Long, Long)].collect().map(_._2)
+      val want = tarjanLabels(n, edges)
+      assert(got.toSeq == want.toSeq, s"trial $trial: $n vertices, ${edges.size} edges")
+    }
+  }
+
+  test("k-core matches an in-driver brute-force peel on random graphs") {
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 3; k <- Seq(2, 3)) {
+      val n = 12 + trial * 5
+      val und = Seq.fill(n * 2)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val g = graphOf(n, und)
+      // driver oracle: peel to fixpoint over the symmetrized distinct pairs
+      var surv = (0 until n).map(_.toLong).toSet
+      val nbrs = (und ++ und.map(_.swap)).distinct.groupBy(_._1)
+        .map { case (v, es) => v -> es.map(_._2).toSet }
+      var stable = false
+      while (!stable) {
+        val next = surv.filter(v => nbrs.getOrElse(v, Set.empty).count(surv) >= k)
+        stable = next == surv; surv = next
+      }
+      val got = KCore.membership(g, k, maxRounds = 64).orderBy("vid")
+        .as[(Long, Boolean)].collect().filter(_._2).map(_._1).toSet
+      assert(got == surv, s"trial $trial k=$k")
+    }
+  }
+
   private def writeDocs(rows: Seq[(Long, String)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-r4docs").toString
     rows.toDF("doc_id", "text").write.mode("overwrite")
