@@ -253,6 +253,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup pairs survive the RocksDB state store provider") {
+    import graft.streaming.{StreamingDedup, StreamingNearDup}
+    val saved = StreamingDedup.rocksDbConf.keys
+      .map(k => k -> spark.conf.getOption(k)).toSeq
+    StreamingDedup.rocksDbConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 3 copies each of 10 distinct texts → every intra-text pair is a
+      // Hamming-0 near-dup; cross-batch pairs must come out of RocksDB state
+      val docs = (0 until 30).map(i =>
+        StreamingDedup.DocRow(i.toLong, s"alpha beta gamma delta text${i % 10}"))
+      val inDir = tmp(); val ckpt = tmp(); val outDir = tmp()
+      val schema = docs.toDS().schema
+      def runOnce(): Unit = {
+        val stream = spark.readStream.schema(schema).parquet(s"$inDir/data")
+        val q = StreamingNearDup.nearDupStream(stream.as[StreamingDedup.DocRow])
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val (early, late) = docs.partition(_.doc_id < 15)
+      early.toDS().write.mode("append").parquet(s"$inDir/data"); runOnce()
+      late.toDS().write.mode("append").parquet(s"$inDir/data"); runOnce()
+      val got = spark.read.parquet(outDir)
+        .select("da", "db").as[(Long, Long)].collect().toSet
+      val want = (for {
+        a <- 0L until 30L; b <- (a + 1) until 30L
+        if a % 10 == b % 10
+      } yield (a, b)).toSet
+      assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("expiring dedup: hash re-canonicalizes after the watermark passes its TTL") {
     import graft.streaming.StreamingDedup
     import graft.streaming.StreamingDedup.TimedDocRow
