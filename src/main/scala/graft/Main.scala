@@ -117,21 +117,30 @@ object Main {
     * `vid`, but star CC's loop state is the contracted EDGE set (u, v).
     * Hardcoding "vid" here crashed every durable star run (round-2 verdict). */
   def materializer(spark: SparkSession, opts: Map[String, String], table: String,
-                   bucketCol: String = "vid"): Materializer =
+                   bucketCol: String = "vid",
+                   extraTokens: Seq[String] = Nil): Materializer =
     opts.get("ckpt") match {
       case Some(dir) =>
         if (!opts.contains("resume")) wipeCheckpointDir(dir)
         // run-level input token: a --resume against the same ckpt dir but a
         // DIFFERENT input recomputes the shared invariants instead of
         // silently reusing them (round-3 ADVICE; joined with each shared()
-        // call's layout fingerprint in CheckpointMaterializer).
+        // call's layout fingerprint in CheckpointMaterializer). Commands
+        // whose computation depends on more than the input add their own
+        // tokens — ppr passes its seed spec (round-4 ADVICE: a resumed ppr
+        // with a different --seeds/--seed-prefix must not reuse the stale
+        // teleport vector or mid-run state).
         val inputToken = opts.get("input").map("input=" + _)
           .orElse(opts.get("events").map("events=" + _))
           .orElse(opts.get("conv").map(c =>
             s"conv=$c;seed=${opts.getOrElse("seed", "42")}"))
+        val runToken = (inputToken.toSeq ++ extraTokens).mkString("|") match {
+          case "" => None
+          case s  => Some(s)
+        }
         new CheckpointMaterializer(new ParquetManifestIO(spark, dir), table,
           bucket = Some((bucketCol, spark.conf.get("spark.sql.shuffle.partitions").toInt)),
-          runFingerprint = inputToken)
+          runFingerprint = runToken)
       case None => new LocalMaterializer
     }
 
@@ -223,13 +232,18 @@ object Main {
             val prefix = opts.getOrElse("seed-prefix", "user:")
             graph.dict.where(F.col("key").startsWith(prefix)).select("vid")
         }
+        // Seed spec enters the run fingerprint: PageRank additionally
+        // fingerprints vmeta_ppr with the resolved seed set's content
+        // signature, so both the CLI spec and the actual set are guarded.
+        val seedToken = opts.get("seeds").map("seeds=" + _)
+          .getOrElse(s"seed-prefix=${opts.getOrElse("seed-prefix", "user:")}")
         val r = PageRank.run(graph,
           PageRankConfig(
             damping = opts.getOrElse("damping", "0.85").toDouble,
             tol = opts.getOrElse("tol", "1e-6").toDouble,
             maxIters = opts.getOrElse("max-iters", "100").toInt,
             packedAdjacency = opts.contains("packed")),
-          materializer(spark, opts, "ppr"),
+          materializer(spark, opts, "ppr", extraTokens = Seq(seedToken)),
           teleport = Some(seeds))
         write(r.ranks.orderBy(F.col("rank").desc, F.col("vid")), "ranks")
         writeDict()

@@ -12,23 +12,28 @@ import org.apache.spark.sql.DataFrame
   * materialized — frees everything but each slot's latest. Freeing only at
   * the sweep point is what makes multi-frame rounds safe: a frame built
   * THIS round from a predecessor is flat by the time the predecessor's
-  * blocks go away. Final (result) generations are never swept away. */
+  * blocks go away. Final (result) generations are never swept away.
+  *
+  * Each generation tracks EXACTLY the RDD id the checkpoint shim returns —
+  * not a before/after diff of `sc.getPersistentRDDs`, which would attribute
+  * unrelated side-effect caches created during the frame's computation
+  * (e.g. GraphBuilder's shared edge persist on the graph's first action) to
+  * the slot and silently unpersist them at the next sweep (round-4 ADVICE).
+  */
 private[algo] final class FlatLoop(spark: org.apache.spark.sql.SparkSession) {
   private val sc = spark.sparkContext
-  private var gens = Map.empty[String, List[Set[Int]]]
+  private var gens = Map.empty[String, List[Int]]
 
   def ckpt(slot: String, df: DataFrame): DataFrame = {
-    val before = sc.getPersistentRDDs.keySet
-    val out = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(df)
-    val created = sc.getPersistentRDDs.keySet.diff(before).toSet
-    gens += slot -> (created :: gens.getOrElse(slot, Nil))
+    val (out, rddId) = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpointTracked(df)
+    gens += slot -> (rddId :: gens.getOrElse(slot, Nil))
     out
   }
 
   /** Free all but the latest generation of each named slot. */
   def sweep(slots: String*): Unit = slots.foreach { s =>
     gens.get(s).foreach { l =>
-      l.drop(1).flatten.foreach(id =>
+      l.drop(1).foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
       gens += s -> l.take(1)
     }

@@ -58,12 +58,12 @@ final class LocalMaterializer extends Materializer {
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Any]]
   private var prevIterRddIds: Set[Int] = Set.empty
 
+  // Tracks exactly the checkpoint shim's RDD id — never a persistent-RDD
+  // diff, which would claim unrelated caches persisted during the frame's
+  // computation and unpersist them a round later (round-4 ADVICE).
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(df)
-    val created = sc.getPersistentRDDs.keySet.diff(before)
-    (out, created.toSet)
+    val (out, rddId) = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpointTracked(df)
+    (out, Set(rddId))
   }
 
   override def iter(iter: Int, df: DataFrame, meta: Map[String, Any]): DataFrame = {
@@ -102,12 +102,10 @@ final class CheckpointMaterializer(io: TableIO, val stateTable: String,
                                    runFingerprint: Option[String] = None) extends Materializer {
   private var prevIterRddIds: Set[Int] = Set.empty
 
+  // Exact-id tracking, same rationale as LocalMaterializer (round-4 ADVICE).
   private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val out = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(df)
-    val created = sc.getPersistentRDDs.keySet.diff(before)
-    (out, created.toSet)
+    val (out, rddId) = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpointTracked(df)
+    (out, Set(rddId))
   }
 
   override def iter(iter: Int, df: DataFrame, meta: Map[String, Any]): DataFrame = {
@@ -115,7 +113,12 @@ final class CheckpointMaterializer(io: TableIO, val stateTable: String,
     // One compute: flat checkpoint; the durable parquet write + manifest
     // then stream from the checkpointed blocks, not a recompute.
     val (flat, created) = checkpointTracked(df)
-    io.commit(stateTable, iter, flat, meta, bucket)
+    // Stamp the run identity on every state commit: resume() verifies it,
+    // so mid-run state is as staleness-guarded as the shared invariants
+    // (round-4 ADVICE: a ppr --resume with a changed seed spec must not
+    // silently continue from the old seed set's iteration state).
+    val stamped = runFingerprint.map(f => meta + ("run_fingerprint" -> (f: Any))).getOrElse(meta)
+    io.commit(stateTable, iter, flat, stamped, bucket)
     prevIterRddIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     prevIterRddIds = created
     flat
@@ -169,8 +172,26 @@ final class CheckpointMaterializer(io: TableIO, val stateTable: String,
       case None => commitFresh(0)
     }
   }
+  /** Resume is REFUSED (loudly, not silently recomputed) when the latest
+    * committed state carries a run fingerprint different from this run's:
+    * unlike a shared invariant — which can just be recomputed — mid-run
+    * iteration state from different run parameters is semantically a
+    * DIFFERENT computation, and continuing it would produce wrong results
+    * (round-4 ADVICE). A commit with no recorded fingerprint (older layout)
+    * is trusted — back-compat. */
   override def resume(): Option[(Int, DataFrame)] =
-    io.latest(stateTable).map(i => (i, io.read(stateTable, i)))
+    io.latest(stateTable).map { i =>
+      for (f <- runFingerprint;
+           recorded <- io.commitLog(stateTable)
+             .find(_.get("iter").exists(_.toString == i.toString))
+             .flatMap(_.get("run_fingerprint")).map(_.toString))
+        require(recorded == f,
+          s"refusing to resume $stateTable/iter=$i: it was committed under run " +
+            s"fingerprint '$recorded' but this run is '$f' — the checkpoint " +
+            "belongs to a different input/parameterization; point --ckpt at a " +
+            "fresh directory (or drop --resume to recompute)")
+      (i, io.read(stateTable, i))
+    }
   override def note(iter: Int, meta: Map[String, Any]): Unit =
     io.note(stateTable, iter, meta)
   override def log: Seq[Map[String, Any]] = io.commitLog(stateTable)

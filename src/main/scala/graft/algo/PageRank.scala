@@ -106,15 +106,32 @@ object PageRank {
         .select(F.col("vid"), F.coalesce(F.col("has_out"), F.lit(false)).as("has_out"))
       val vmeta = teleport match {
         case Some(seedsRaw) =>
-          val seeds = seedsRaw.select("vid").distinct()
-          val ns = seeds.count().toDouble // driver-side dim, one tiny action
-          require(ns > 0, "personalized PageRank requires a non-empty teleport seed set")
+          // Seeds are intersected with the graph's vertex set BEFORE |S| is
+          // counted (round-4 ADVICE): a --seeds parquet carrying vids absent
+          // from the graph would otherwise inflate |S|, making tele sum to
+          // < 1 and silently breaking the Σp = 1 invariant.
+          val rawDistinct = seedsRaw.select("vid").distinct()
+          val seeds = rawDistinct.join(graph.vertices, Seq("vid"), "left_semi")
+          // One tiny action: |S| + an order-independent content signature
+          // (xor-fold of per-vid hashes — no ANSI overflow, unlike sum).
+          val seedRow = seeds.agg(
+            F.count(F.lit(1)).as("n"),
+            F.coalesce(F.bit_xor(F.xxhash64(F.col("vid"))), F.lit(0L)).as("sig")).first()
+          val ns = seedRow.getLong(0).toDouble
+          require(ns > 0, "personalized PageRank requires a non-empty teleport " +
+            "seed set intersecting the graph's vertices")
+          // The teleport vector is a function of the SEED SET, so its durable
+          // snapshot must be fingerprinted by it (round-4 ADVICE): a --resume
+          // under the same ckpt dir with a different seed spec recomputes
+          // instead of silently reusing the stale vector.
+          val seedFp = Some(s"seeds:n=${seedRow.getLong(0)};sig=${seedRow.getLong(1)}")
           mat.shared("vmeta_ppr",
             vmetaBase
               .join(seeds.withColumn("is_seed", F.lit(true)), Seq("vid"), "left")
               .select(F.col("vid"), F.col("has_out"),
                 F.when(F.col("is_seed"), F.lit(1.0 / ns)).otherwise(F.lit(0.0)).as("tele"))
-              .repartition(F.col("vid")), repartitionKeys = Seq("vid"))
+              .repartition(F.col("vid")), repartitionKeys = Seq("vid"),
+            fingerprint = seedFp)
         case None =>
           mat.shared("vmeta", vmetaBase.repartition(F.col("vid")),
             repartitionKeys = Seq("vid"))

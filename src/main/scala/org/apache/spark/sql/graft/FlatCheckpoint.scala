@@ -30,7 +30,17 @@ object FlatCheckpoint {
 
   /** Eagerly materialize `df`; returns a flat-leaf frame over the
     * checkpointed blocks. Caller may unpersist via the returned RDD. */
-  def localCheckpoint(df: DataFrame): DataFrame = {
+  def localCheckpoint(df: DataFrame): DataFrame =
+    localCheckpointTracked(df)._1
+
+  /** Like [[localCheckpoint]] but also returns THE id of the persistent RDD
+    * backing the checkpoint. Loop frameworks that reclaim prior generations
+    * must unpersist exactly this id: diffing `sc.getPersistentRDDs` around
+    * the call attributes every persistent RDD created DURING the frame's
+    * computation (e.g. a shared cache persisted by a lazily-built input on
+    * its first action) to the checkpoint, and a later sweep then unpersists
+    * the unrelated cache (round-4 ADVICE). */
+  def localCheckpointTracked(df: DataFrame): (DataFrame, Int) = {
     val session = df.sparkSession.asInstanceOf[CSparkSession]
     val qe = df.queryExecution
     val physical = qe.executedPlan
@@ -44,7 +54,7 @@ object FlatCheckpoint {
       physical.outputOrdering,
       isStreaming = false,
       stream = None)(session, None, None)
-    CDataset.ofRows(session, logical)
+    (CDataset.ofRows(session, logical), internal.id)
   }
 
   /** Mirrors Spark's own Dataset.checkpoint normalization — a
