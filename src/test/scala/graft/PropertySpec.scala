@@ -121,6 +121,67 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private def lg(n: Int, edges: Seq[(Long, Long)]): graft.graph.LinkGraph = {
+    val e = edges.map { case (s, d) => (s, d, 1, 1.0) }
+      .toDF("src", "dst", "kind", "weight")
+    graft.graph.LinkGraph(e,
+      (0 until n).map(i => (s"v:$i", i.toLong)).toDF("key", "vid"))
+  }
+
+  test("SCC == Tarjan oracle at n=1000 (property scale, random digraph)") {
+    // round-4 verdict "Next round #7": the fixture-scale random graphs were
+    // n ≤ 34; this pins the same oracle at three decimal orders up
+    val rng = new scala.util.Random(1001)
+    val n = 1000
+    val edges = Seq.fill(3 * n)((rng.nextLong(n), rng.nextLong(n)))
+      .filter { case (a, b) => a != b }.distinct
+    val r = Scc.run(lg(n, edges))
+    assert(r.converged)
+    val got = r.labels.orderBy("vid").as[(Long, Long)].collect().map(_._2)
+    assert(got.toSeq == graft.oracle.Oracles.tarjanScc(n, edges).toSeq)
+  }
+
+  test("SCC deep-cycle fixture: one 128-cycle with trim tails (depth ≫ trim)") {
+    // cycle length far beyond any trim/peel depth: the color fixpoint must
+    // run ~128 rounds; every tail vertex trims to a singleton
+    val n = 160
+    val cycle = (0 until 128).map(i => (i.toLong, ((i + 1) % 128).toLong))
+    val tails = (128 until 160).map(i => ((i - 128).toLong, i.toLong)) // cycle → tail
+    val r = Scc.run(lg(n, cycle ++ tails))
+    assert(r.converged)
+    val got = r.labels.orderBy("vid").as[(Long, Long)].collect()
+    got.foreach { case (v, l) =>
+      assert(l == (if (v < 128) 0L else v), s"vid $v got label $l") }
+  }
+
+  test("SCC multi-phase fixture: 4 chained cycles peel one phase each") {
+    // cycles C_i = [32i, 32i+32) linked 0→32→64→96: min-vid coloring floods
+    // everything with 0, so each phase can only peel the lowest remaining
+    // cycle — exercises the outer phase loop 4 deep (incremental mark
+    // frontier + per-phase durable commits all get real work)
+    val cycles = (0 until 4).flatMap(c =>
+      (0 until 32).map(i => ((32 * c + i).toLong, (32 * c + (i + 1) % 32).toLong)))
+    val links = Seq((0L, 32L), (32L, 64L), (64L, 96L))
+    val r = Scc.run(lg(128, cycles ++ links))
+    assert(r.converged)
+    assert(r.phases == 4, s"expected 4 phases, got ${r.phases}")
+    val got = r.labels.orderBy("vid").as[(Long, Long)].collect()
+    got.foreach { case (v, l) => assert(l == (v / 32) * 32, s"vid $v got $l") }
+  }
+
+  test("k-core == peel oracle at n=1000 (property scale), k in {2,3,4}") {
+    val rng = new scala.util.Random(77)
+    val n = 1000
+    val und = Seq.fill(3 * n)((rng.nextLong(n), rng.nextLong(n)))
+      .filter { case (a, b) => a != b }.distinct
+    val g = lg(n, und)
+    for (k <- Seq(2, 3, 4)) {
+      val got = KCore.membership(g, k, maxRounds = 64).orderBy("vid")
+        .as[(Long, Boolean)].collect().filter(_._2).map(_._1).toSet
+      assert(got == graft.oracle.Oracles.kcore(n, und, k), s"k=$k")
+    }
+  }
+
   test("triangle count invariant under edge direction flips (all seeds)") {
     seeds.take(2).foreach { seed =>
       val g = GraphBuilder.fromTranscripts(

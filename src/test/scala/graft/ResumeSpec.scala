@@ -187,4 +187,93 @@ class ResumeSpec extends SparkSpec {
       .labels.orderBy("vid").as[(Long, Long)].collect().toSeq
     assert(resumed == clean)
   }
+
+  private def lg(n: Int, edges: Seq[(Long, Long)]): graft.graph.LinkGraph = {
+    val e = edges.map { case (s, d) => (s, d, 1, 1.0) }
+      .toDF("src", "dst", "kind", "weight")
+    graft.graph.LinkGraph(e,
+      (0 until n).map(i => (s"v:$i", i.toLong)).toDF("key", "vid"))
+  }
+
+  test("k-core kill-and-resume: bit-identical membership vs uninterrupted") {
+    // chain 0-1-2-3-4-5 at k=2 needs 4 peel rounds to reach the (empty)
+    // fixpoint — an interrupt at round 2 resumes mid-peel
+    val g = lg(6, (0 until 5).map(i => (i.toLong, i + 1L)))
+    val dir = tmp()
+    val killed = KCore.run(g, k = 2, maxRounds = 2,
+      new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "kcore"))
+    assert(!killed.converged)
+    assert(killed.members.as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    val resumed = KCore.run(g, k = 2, maxRounds = 8,
+      new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "kcore"))
+    val clean = KCore.run(g, k = 2, maxRounds = 8)
+    assert(resumed.converged && clean.converged)
+    assert(resumed.rounds == clean.rounds, "round numbering must continue, not restart")
+    assert(resumed.members.as[Long].collect().sorted.toSeq ==
+      clean.members.as[Long].collect().sorted.toSeq)
+
+    // and on a graph with a non-empty core: K4 + tail, interrupt at round 1
+    val k4 = for (i <- 0 until 4; j <- i + 1 until 4) yield (i.toLong, j.toLong)
+    val g2 = lg(6, k4 :+ (3L, 4L) :+ (4L, 5L))
+    val dir2 = tmp()
+    KCore.run(g2, k = 3, maxRounds = 1,
+      new CheckpointMaterializer(new ParquetManifestIO(spark, dir2), "kcore"))
+    val r2 = KCore.run(g2, k = 3, maxRounds = 8,
+      new CheckpointMaterializer(new ParquetManifestIO(spark, dir2), "kcore"))
+    assert(r2.converged)
+    assert(r2.members.as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("k-core durable resume with a CHANGED k is refused (run fingerprint)") {
+    val g = lg(6, (0 until 5).map(i => (i.toLong, i + 1L)))
+    val dir = tmp()
+    KCore.run(g, k = 2, maxRounds = 2,
+      new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "kcore",
+        runFingerprint = Some("k=2")))
+    val ex = intercept[IllegalArgumentException] {
+      KCore.run(g, k = 3, maxRounds = 8,
+        new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "kcore",
+          runFingerprint = Some("k=3")))
+    }
+    assert(ex.getMessage.contains("refusing to resume"))
+  }
+
+  test("SCC kill-and-resume at a phase boundary: bit-identical labels") {
+    // Two phases: color-0 floods {0,1,2,3} but SCC(0) = {0,3} only (1,2
+    // form their own cycle 0 cannot be reached from); 4 is a trim tail.
+    //   0→1, 1⇄2 (cycle), 0⇄3 (cycle), 2→4
+    val g = lg(5, Seq((0L, 1L), (1L, 2L), (2L, 1L), (0L, 3L), (3L, 0L), (2L, 4L)))
+    val clean = Scc.run(g)
+    assert(clean.converged && clean.phases == 2)
+    val want = clean.labels.orderBy("vid").as[(Long, Long)].collect().toSeq
+    assert(want == Seq((0L, 0L), (1L, 1L), (2L, 1L), (3L, 0L), (4L, 4L)))
+
+    val dir = tmp()
+    val killed = Scc.run(g, maxPhases = 1,
+      mat = new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "scc"))
+    assert(!killed.converged)
+    val io = new ParquetManifestIO(spark, dir)
+    // init + trim commit + phase-1 mark commit are all durable
+    assert(io.latest("scc").exists(_ >= 2), s"latest=${io.latest("scc")}")
+    val resumed = Scc.run(g,
+      mat = new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "scc"))
+    assert(resumed.converged)
+    assert(resumed.phases == 1, "resume must only pay the remaining phase")
+    assert(resumed.labels.orderBy("vid").as[(Long, Long)].collect().toSeq == want)
+  }
+
+  test("SCC durable run on the transcript graph == ephemeral labels") {
+    val dir = tmp()
+    val durable = Scc.run(graph,
+      mat = new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "scc"))
+    val local = Scc.run(graph)
+    assert(durable.converged && local.converged)
+    assert(durable.labels.orderBy("vid").as[(Long, Long)].collect().toSeq ==
+      local.labels.orderBy("vid").as[(Long, Long)].collect().toSeq)
+    // resume on the COMPLETED checkpoint short-circuits: nothing remains
+    val again = Scc.run(graph,
+      mat = new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "scc"))
+    assert(again.converged && again.phases == 0,
+      s"completed checkpoint must resume to an immediate no-op, did ${again.phases} phases")
+  }
 }

@@ -128,45 +128,6 @@ class RoundFourOpsSpec extends SparkSpec {
     assert(scc.toSeq == cc.toSeq)
   }
 
-  /** In-driver Tarjan SCC oracle: label = min vid per component. */
-  private def tarjanLabels(n: Int, edges: Seq[(Long, Long)]): Array[Long] = {
-    val adj = Array.fill(n)(List.empty[Int])
-    edges.foreach { case (a, b) => adj(a.toInt) ::= b.toInt }
-    val index = Array.fill(n)(-1); val low = new Array[Int](n)
-    val onStack = new Array[Boolean](n); val label = new Array[Long](n)
-    var stack = List.empty[Int]; var idx = 0
-    def strongConnect(v0: Int): Unit = {
-      // iterative Tarjan (explicit work stack; no JVM recursion limit)
-      var work = List((v0, adj(v0)))
-      index(v0) = idx; low(v0) = idx; idx += 1; stack ::= v0; onStack(v0) = true
-      while (work.nonEmpty) {
-        val (v, rest) = work.head
-        rest match {
-          case w :: tail =>
-            work = (v, tail) :: work.tail
-            if (index(w) == -1) {
-              index(w) = idx; low(w) = idx; idx += 1; stack ::= w; onStack(w) = true
-              work = (w, adj(w)) :: work
-            } else if (onStack(w)) low(v) = math.min(low(v), index(w))
-          case Nil =>
-            work = work.tail
-            work.headOption.foreach { case (p, _) => low(p) = math.min(low(p), low(v)) }
-            if (low(v) == index(v)) {
-              var comp = List.empty[Int]; var done = false
-              while (!done) {
-                val w = stack.head; stack = stack.tail; onStack(w) = false
-                comp ::= w; done = w == v
-              }
-              val m = comp.min.toLong
-              comp.foreach(w => label(w) = m)
-            }
-        }
-      }
-    }
-    (0 until n).foreach(v => if (index(v) == -1) strongConnect(v))
-    label
-  }
-
   test("SCC matches an in-driver Tarjan oracle on random directed graphs") {
     val rng = new scala.util.Random(42)
     for (trial <- 1 to 4) {
@@ -178,7 +139,7 @@ class RoundFourOpsSpec extends SparkSpec {
       val r = Scc.run(g)
       assert(r.converged, s"trial $trial did not converge")
       val got = r.labels.orderBy("vid").as[(Long, Long)].collect().map(_._2)
-      val want = tarjanLabels(n, edges)
+      val want = graft.oracle.Oracles.tarjanScc(n, edges)
       assert(got.toSeq == want.toSeq, s"trial $trial: $n vertices, ${edges.size} edges")
     }
   }

@@ -84,4 +84,58 @@ object Oracles {
     }
     (total, per)
   }
+
+  /** Iterative Tarjan SCC (explicit work stack; no JVM recursion limit);
+    * label = min vid per strongly connected component. */
+  def tarjanScc(n: Int, edges: Seq[(Long, Long)]): Array[Long] = {
+    val adj = Array.fill(n)(List.empty[Int])
+    edges.foreach { case (a, b) => adj(a.toInt) ::= b.toInt }
+    val index = Array.fill(n)(-1); val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n); val label = new Array[Long](n)
+    var stack = List.empty[Int]; var idx = 0
+    def strongConnect(v0: Int): Unit = {
+      var work = List((v0, adj(v0)))
+      index(v0) = idx; low(v0) = idx; idx += 1; stack ::= v0; onStack(v0) = true
+      while (work.nonEmpty) {
+        val (v, rest) = work.head
+        rest match {
+          case w :: tail =>
+            work = (v, tail) :: work.tail
+            if (index(w) == -1) {
+              index(w) = idx; low(w) = idx; idx += 1; stack ::= w; onStack(w) = true
+              work = (w, adj(w)) :: work
+            } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+          case Nil =>
+            work = work.tail
+            work.headOption.foreach { case (p, _) => low(p) = math.min(low(p), low(v)) }
+            if (low(v) == index(v)) {
+              var comp = List.empty[Int]; var done = false
+              while (!done) {
+                val w = stack.head; stack = stack.tail; onStack(w) = false
+                comp ::= w; done = w == v
+              }
+              val m = comp.min.toLong
+              comp.foreach(w => label(w) = m)
+            }
+        }
+      }
+    }
+    (0 until n).foreach(v => if (index(v) == -1) strongConnect(v))
+    label
+  }
+
+  /** k-core membership by peel-to-fixpoint over the symmetrized distinct
+    * neighbor sets (order-independent — the k-core is unique). */
+  def kcore(n: Int, undirected: Seq[(Long, Long)], k: Int): Set[Long] = {
+    val nbrs = Array.fill(n)(scala.collection.mutable.Set.empty[Int])
+    undirected.foreach { case (a, b) =>
+      if (a != b) { nbrs(a.toInt) += b.toInt; nbrs(b.toInt) += a.toInt } }
+    var surv = (0 until n).toSet
+    var stable = false
+    while (!stable) {
+      val next = surv.filter(v => nbrs(v).count(surv) >= k)
+      stable = next == surv; surv = next
+    }
+    surv.map(_.toLong)
+  }
 }
