@@ -30,7 +30,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * 4 entries per doc (one per chunk) ⇒ ~32 B/doc × 4 across the state
   * store. For long-lived production streams run under the RocksDB state
   * store provider (state off-heap + spillable, see
-  * [[StreamingDedup.rocksDbConf]]) and/or the watermark-expiring variant.
+  * [[StreamingDedup.rocksDbConf]]) and/or [[nearDupStreamExpiring]] — the
+  * BOUNDED-STATE variant (round-4 verdict "Next round #2"): members carry
+  * their event time; a member whose last arrival + TTL the watermark has
+  * passed is dropped from state and never pairs again (near-dup horizon =
+  * TTL), and a bucket whose newest member expires is removed wholesale via
+  * EventTimeTimeout. State is then bounded by the TTL window's distinct
+  * arrivals instead of the stream's lifetime.
   */
 object StreamingNearDup {
 
@@ -65,6 +71,88 @@ object StreamingNearDup {
       .groupByKey(b => (b.chunk_idx, b.cv))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         emitBucket(maxHamming))
+  }
+
+  case class TimedBandedDoc(chunk_idx: Int, cv: Long, doc_id: Long,
+                            simhash64: Long, ts: java.sql.Timestamp)
+
+  /** Bounded-state variant: per-MEMBER event-time TTL + per-bucket
+    * EventTimeTimeout (the near-dup face of
+    * [[StreamingDedup.dedupStreamExpiring]]). Honest semantics of the
+    * bound: an arrival pairs only against members whose last arrival is
+    * still within the TTL horizon at the current watermark — an expired
+    * member is forgotten, so pairs against it are NO LONGER emitted and the
+    * stream's near-dup contract becomes "within a TTL window", not "ever".
+    * A re-delivered (doc_id, hash) member refreshes its recency without
+    * re-emitting pairs. The whole bucket's state is removed by timeout once
+    * the watermark passes its newest member + TTL.
+    *
+    * `delayThreshold` is the watermark lateness bound (`withWatermark`
+    * syntax). The banding stays in Column expressions (explode over chunk
+    * indices) rather than a typed flatMap so the event-time column KEEPS
+    * its watermark metadata into the stateful operator. */
+  def nearDupStreamExpiring(docs: Dataset[StreamingDedup.TimedDocRow],
+                            delayThreshold: String, ttlMs: Long,
+                            maxHamming: Int = 3): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withWatermark("ts", delayThreshold)
+      .select(F.col("doc_id"),
+        F.expr("simhash64(array_distinct(filter(coalesce(split(text, ' '), array()), w -> w <> '')))")
+          .as("simhash64"),
+        F.col("ts"))
+      .select(
+        F.explode(F.expr(s"sequence(0, ${NChunks - 1})")).as("chunk_idx"),
+        // arithmetic >> is fine: the mask strips any smeared sign bits
+        F.expr(s"(simhash64 >> (chunk_idx * $ChunkBits)) & ${(1L << ChunkBits) - 1}").as("cv"),
+        F.col("doc_id"), F.col("simhash64"), F.col("ts"))
+      .as[TimedBandedDoc]
+      .groupByKey(b => (b.chunk_idx, b.cv))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        emitBucketExpiring(maxHamming, ttlMs))
+  }
+
+  /** Expiring kernel. State per bucket: Map[simhash64 → List[(doc_id,
+    * lastArrivalMs)]]. Each invocation first drops members the watermark
+    * has expired (lastArrival + TTL ≤ watermark) — both the state bound
+    * and the pairing horizon — then processes arrivals exactly like
+    * [[emitBucket]]. Timeout = newest surviving member + TTL, clamped
+    * above the watermark; on timeout the bucket's state is removed. */
+  def emitBucketExpiring(maxHamming: Int, ttlMs: Long)(
+      key: (Int, Long), it: Iterator[TimedBandedDoc],
+      state: GroupState[Map[Long, List[(Long, Long)]]]): Iterator[NearDupPair] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val arrivals = it.map(b => (b.doc_id, b.simhash64, b.ts.getTime)).toVector
+      .sortBy(_._1).distinct
+    if (arrivals.isEmpty) return Iterator.empty
+    val wm = state.getCurrentWatermarkMs()
+    var byHash = state.getOption.getOrElse(Map.empty[Long, List[(Long, Long)]])
+      .map { case (h, ms) => h -> ms.filter(_._2 + ttlMs > wm) }
+      .filter(_._2.nonEmpty)
+    val out = Vector.newBuilder[NearDupPair]
+    arrivals.foreach { case (id, h, ts) =>
+      val existing = byHash.getOrElse(h, Nil)
+      existing.find(_._1 == id) match {
+        case Some((_, oldTs)) =>
+          // re-delivery guard: refresh recency, never re-emit
+          byHash = byHash.updated(h,
+            (id, math.max(oldTs, ts)) :: existing.filterNot(_._1 == id))
+        case None =>
+          byHash.foreach { case (h2, members) =>
+            val ham = java.lang.Long.bitCount(h2 ^ h)
+            if (ham <= maxHamming) members.foreach { case (m, _) =>
+              if (m != id)
+                out += NearDupPair(math.min(m, id), math.max(m, id), ham)
+            }
+          }
+          byHash = byHash.updated(h, (id, ts) :: existing)
+      }
+    }
+    state.update(byHash)
+    val newest = byHash.valuesIterator.flatMap(_.iterator.map(_._2)).max
+    state.setTimeoutTimestamp(math.max(newest + ttlMs, wm + 1))
+    out.result().iterator
   }
 
   /** Per-bucket incremental pair emission; unit-testable like emitHash.

@@ -337,6 +337,77 @@ class StreamingSpec extends SparkSpec {
     assert(st.value.get == Map(h -> List(2L, 1L)))
   }
 
+  test("expiring near-dup kernel: expired members stop pairing; re-delivery refreshes") {
+    import graft.streaming.StreamingNearDup
+    val ttl = 60L * 60 * 1000
+    def t(min: Long) = new Timestamp(86400000L + min * 60000L)
+    def banded(id: Long, h: Long, min: Long) =
+      StreamingNearDup.TimedBandedDoc(0, h & 0xFFFFL, id, h, t(min))
+    val h = 42L
+    val key = (0, h & 0xFFFFL)
+    val st = new TestGroupState[Map[Long, List[(Long, Long)]]](None)
+    val kernel = StreamingNearDup.emitBucketExpiring(3, ttl) _
+
+    assert(kernel(key, Iterator(banded(1, h, 0)), st).isEmpty)
+    assert(st.timeoutTs == t(0).getTime + ttl, "timeout = newest member + TTL")
+    // within horizon: pairs against member 1
+    st.watermarkMs = t(10).getTime
+    assert(kernel(key, Iterator(banded(2, h, 10)), st).toVector ==
+      Vector(StreamingNearDup.NearDupPair(1, 2, 0)))
+    // re-delivery of 2: no re-emission, recency refreshed
+    st.watermarkMs = t(20).getTime
+    assert(kernel(key, Iterator(banded(2, h, 30)), st).isEmpty)
+    assert(st.value.get(h).find(_._1 == 2L).get._2 == t(30).getTime)
+    // watermark passes 1's horizon (0 + 60m) but not 2's (30m + 60m): a new
+    // arrival pairs with 2 only — the expired member is forgotten
+    st.watermarkMs = t(80).getTime
+    assert(kernel(key, Iterator(banded(3, h, 81)), st).toVector ==
+      Vector(StreamingNearDup.NearDupPair(2, 3, 0)))
+    assert(!st.value.get(h).exists(_._1 == 1L), "expired member must leave state")
+    // bucket-level timeout removes the whole state
+    st.timedOut = true
+    assert(kernel(key, Iterator.empty, st).isEmpty)
+    assert(st.value.isEmpty)
+  }
+
+  test("expiring near-dup e2e (RocksDB provider): pairs stop at the TTL horizon") {
+    import graft.streaming.{StreamingDedup, StreamingNearDup}
+    import graft.streaming.StreamingDedup.TimedDocRow
+    val saved = StreamingDedup.rocksDbConf.keys
+      .map(k => k -> spark.conf.getOption(k)).toSeq
+    StreamingDedup.rocksDbConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val inDir = tmp(); val ckpt = tmp(); val outDir = tmp()
+      def ts(min: Long) = new Timestamp(86400000L + min * 60000L)
+      val textA = "alpha bravo charlie delta echo"
+      val schema = Seq(TimedDocRow(0L, "x", ts(0))).toDS().schema
+      def add(rows: TimedDocRow*): Unit = {
+        rows.toSeq.toDS().write.mode("append").parquet(s"$inDir/data")
+        val stream = spark.readStream.schema(schema).parquet(s"$inDir/data")
+        val q = StreamingNearDup.nearDupStreamExpiring(
+            stream.as[TimedDocRow], "0 seconds", ttlMs = 60L * 60 * 1000)
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      add(TimedDocRow(1, textA, ts(0)))      // wm → 0
+      add(TimedDocRow(2, textA, ts(10)))     // within TTL: pair (1,2); wm → 10m
+      add(TimedDocRow(3, "unrelated words here", ts(200))) // wm → 200m
+      add(TimedDocRow(4, "more filler text", ts(201)))     // textA buckets expire
+      add(TimedDocRow(5, textA, ts(202)))    // horizon passed: NO pair with 1/2
+      add(TimedDocRow(6, textA, ts(203)))    // fresh window: pairs with 5 only
+      val got = spark.read.parquet(outDir)
+        .select("da", "db", "hamming").distinct()
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == Set((1L, 2L, 0), (5L, 6L, 0)),
+        s"expected the TTL horizon to split the dup groups, got $got")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("replayed turns are dropped by the state guard (idempotence)") {
     // direct unit test of emitConv: feeding the same turns twice emits once
     val conv = allTurns.filter(_.conv_id == TranscriptGen.convId(0))
@@ -348,9 +419,15 @@ class StreamingSpec extends SparkSpec {
   }
 }
 
-/** Minimal GroupState stub for unit-testing the stateful function. */
+/** Minimal GroupState stub for unit-testing the stateful function.
+  * `watermarkMs`/`timedOut` are settable so expiring kernels can be driven
+  * through their event-time lifecycle; `timeoutTs` records the last
+  * setTimeoutTimestamp for assertions. */
 class TestGroupState[S](var value: Option[S])
     extends org.apache.spark.sql.streaming.GroupState[S] {
+  var watermarkMs: Long = 0L
+  var timedOut: Boolean = false
+  var timeoutTs: Long = -1L
   override def exists: Boolean = value.isDefined
   override def get: S = value.get
   override def getOption: Option[S] = value
@@ -358,11 +435,11 @@ class TestGroupState[S](var value: Option[S])
   override def remove(): Unit = value = None
   override def setTimeoutDuration(d: Long): Unit = ()
   override def setTimeoutDuration(d: String): Unit = ()
-  override def setTimeoutTimestamp(t: Long): Unit = ()
-  override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
+  override def setTimeoutTimestamp(t: Long): Unit = timeoutTs = t
+  override def setTimeoutTimestamp(t: Long, additional: String): Unit = timeoutTs = t
   override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
   override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
-  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentWatermarkMs(): Long = watermarkMs
   override def getCurrentProcessingTimeMs(): Long = 0L
-  override def hasTimedOut: Boolean = false
+  override def hasTimedOut: Boolean = timedOut
 }
