@@ -205,6 +205,12 @@ class RoundFourOpsSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, 2L)))
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+    // single-scan discipline (round-4 verdict "What's wrong #2"): the probe
+    // plan reads the corpus exactly once — the vocab side comes from the
+    // materialized word-count memo, not a second corpus aggregation
+    val corpusScans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(corpusScans == 1, s"expected 1 corpus scan in the probe plan, " +
+      s"got $corpusScans:\n$plan")
   }
 
   test("repetition signals: exact fractions, null on degenerate docs") {
