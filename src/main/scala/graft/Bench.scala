@@ -85,7 +85,17 @@ object Bench {
     val raw2 = qjson(_._5)
     val total = merged.map(_._2).sum
     val failed = merged.count(!_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failed,"queries":$qs,"queries_pass1":$raw1,"queries_pass2":$raw2,"steal_jiffies_pass1":${s1 - s0},"steal_jiffies_pass2":${s2 - s1},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","failures":$failed,"queries":$qs,"queries_pass1":$raw1,"queries_pass2":$raw2,"steal_jiffies_pass1":${s1 - s0},"steal_jiffies_pass2":${s2 - s1},"sf":"$sfDir"}"""
+    // The artifact line ALSO lands in a file (round-4 verdict "Next round
+    // #5": the driver's stdout tail-grab truncated pass 1 out of the
+    // captured artifact) — a consumer can always recover the full two-pass
+    // record from the file even when the console capture clips.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

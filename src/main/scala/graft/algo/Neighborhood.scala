@@ -1,0 +1,201 @@
+package graft.algo
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+import graft.graph.LinkGraph
+
+/** Neighborhood function + distance-based centrality — SURVEY.md §2.10
+  * (round 5). The neighborhood function N(t) = |{(u, v) : dist(u→v) ≤ t}|
+  * is the backbone of distance distribution / effective-diameter analysis
+  * on large graphs (Palmer et al. ANF, KDD 2002; Boldi-Rosa-Vigna
+  * HyperANF/HyperBall, WWW 2011 — the same lineage of compact-structure
+  * big-graph tooling as the reference's INRIA group).
+  *
+  * Two implementations, one contract:
+  *
+  *  - [[exact]] — multi-source BFS with explicit (origin, vertex, dist)
+  *    pairs. O(Σ_t |ball frontier| · deg) work and O(n²) worst-case state:
+  *    the CORRECTNESS surface (driver-oracled via unrolled reachability
+  *    CTEs) and fine up to ~10⁵ vertices; inherently not the 100-TB path.
+  *  - [[hyperball]] — the scale path: each vertex keeps a HyperLogLog
+  *    sketch of its in-t-ball, one sketch-union message round per t
+  *    (Spark-native Datasketches `hll_sketch_agg`/`hll_union_agg`, state =
+  *    (vid, ~2^lgK bytes)). N(t) estimates carry the standard HLL relative
+  *    error (~1.04/√2^lgK); per-round cost is one edges⋈state join + one
+  *    union aggregation — the engine's standard one-shuffle kernel, state
+  *    linear in vertices regardless of ball sizes.
+  *
+  * Both accept a [[Materializer]]: per-round state commits (reach pairs
+  * keyed by origin / sketches keyed by vid) make multi-round runs over big
+  * graphs resumable mid-iteration like every other loop in the engine.
+  *
+  * Both run a FIXED t = 0..maxT horizon (the oracle's unrolled-CTE
+  * discipline); rounds whose frontier dries early are skipped and N(t)
+  * stays flat, exactly like the oracle's cumulative sets.
+  */
+object Neighborhood {
+
+  final case class NhoodResult(
+      counts: DataFrame, // (t: int, pairs: long) — exact; est double for HB
+      reach: Option[DataFrame], // exact only: (o, v, d)
+      rounds: Int)
+
+  /** Exact truncated neighborhood function. Returns counts (t, pairs) for
+    * t = 0..maxT AND the reach frame (o, v, d) with d = dist(o→v) — the
+    * input for [[harmonic]]. Durable state per round: the cumulative reach
+    * frame (bucket on "o"); resume recovers the frontier as the max-d
+    * slice. */
+  def exact(graph: LinkGraph, maxT: Int,
+            mat: Materializer = new LocalMaterializer): NhoodResult =
+    IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
+      IterativeConf.adaptivePartitions(graph.spark,
+        math.max(graph.numVertices, graph.numEdges))))) {
+      val fl = new FlatLoop(graph.spark)
+      val edges = mat.shared("de",
+        graph.directed.where(F.col("src") =!= F.col("dst"))
+          .repartition(F.col("src")), repartitionKeys = Seq("src"))
+
+      val (start, reach0, frontier0) = mat.resume() match {
+        case Some((t, df)) =>
+          val r = fl.ckpt("reach", df.select("o", "v", "d"))
+          (t, r, fl.ckpt("frontier", r.where(F.col("d") === t).select("o", "v")))
+        case None =>
+          val init = graph.vertices.select(
+            F.col("vid").as("o"), F.col("vid").as("v"), F.lit(0).as("d"))
+          val r = fl.ckpt("reach",
+            mat.iter(0, init.repartition(F.col("o")), Map("init" -> true)))
+          (0, r, fl.ckpt("frontier", r.select("o", "v")))
+      }
+      var reach = reach0
+      var frontier = frontier0
+      var t = start
+      var growing = frontier.count() > 0
+      while (t < maxT && growing) {
+        t += 1
+        // expand the frontier one hop; dedupe within the hop, then drop
+        // anything already reached at a smaller distance
+        val cand = frontier.join(edges.withColumnRenamed("src", "v"), "v")
+          .select(F.col("o"), F.col("dst").as("v")).distinct()
+        val fresh = fl.ckpt("frontier",
+          cand.join(reach, Seq("o", "v"), "left_anti").withColumn("d", F.lit(t)))
+        val nf = fresh.count()
+        if (nf == 0) growing = false
+        else {
+          reach = fl.ckpt("reach", reach.unionByName(fresh))
+          reach = mat.iter(t, reach.repartition(F.col("o")), Map("fresh" -> nf))
+          frontier = fresh
+        }
+        fl.sweep("reach", "frontier")
+      }
+      val counts = cumulativeCounts(graph, reach, maxT)
+      val out = NhoodResult(counts, Some(reach), t)
+      mat.close()
+      out
+    }
+
+  /** (t, pairs): cumulative count of reach rows with d ≤ t for every t in
+    * 0..maxT — including flat tail rounds the BFS never ran. */
+  private def cumulativeCounts(graph: LinkGraph, reach: DataFrame, maxT: Int): DataFrame = {
+    val byD = reach.groupBy("d").agg(F.count(F.lit(1)).as("fresh"))
+    graph.spark.range(0, maxT + 1L).select(F.col("id").cast("int").as("t"))
+      .join(byD, F.col("d") <= F.col("t"), "left")
+      .groupBy("t").agg(F.coalesce(F.sum("fresh"), F.lit(0L)).as("pairs"))
+      .orderBy("t")
+  }
+
+  /** T-truncated harmonic centrality from an exact reach frame:
+    * H(v) = Σ_{o ≠ v, dist(o→v) ≤ maxT} 1 / dist(o→v), rounded to 6 dp.
+    * (Distances follow edge direction INTO v — the standard in-harmonic;
+    * Boldi-Vigna "Axioms for centrality" 2014.) */
+  def harmonic(graph: LinkGraph, reach: DataFrame): DataFrame = {
+    val h = reach.where(F.col("d") > 0)
+      .groupBy(F.col("v").as("vid"))
+      .agg(F.sum(F.lit(1.0) / F.col("d")).as("h"))
+    graph.vertices.join(h, Seq("vid"), "left")
+      .select(F.col("vid"), F.round(F.coalesce(F.col("h"), F.lit(0.0)), 6).as("harmonic"))
+      .orderBy("vid")
+  }
+
+  /** HyperBall: per-vertex HLL sketch of the in-t-ball, grown by one
+    * sketch-union message round per t. Returns (t, est_pairs: double) —
+    * the HLL estimate of N(t). Durable state per round: (vid, sk). */
+  def hyperball(graph: LinkGraph, maxT: Int, lgK: Int = 12,
+                mat: Materializer = new LocalMaterializer): NhoodResult =
+    IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
+      IterativeConf.adaptivePartitions(graph.spark,
+        math.max(graph.numVertices, graph.numEdges))))) {
+      val spark = graph.spark
+      import spark.implicits._
+      val fl = new FlatLoop(spark)
+      // messages flow src→dst: dst's ball absorbs src's ball (dist(o→dst)
+      // ≤ dist(o→src) + 1), so partition the shared edges by the probe key
+      val edges = mat.shared("de",
+        graph.directed.where(F.col("src") =!= F.col("dst"))
+          .repartition(F.col("src")), repartitionKeys = Seq("src"),
+        fingerprint = Some(s"lgK=$lgK"))
+
+      // hll_sketch_estimate returns a rounded LONG; keep the double contract
+      def estimateOf(state: DataFrame): Double =
+        state.agg(F.sum(F.hll_sketch_estimate(F.col("sk")).cast("double")))
+          .first().getDouble(0)
+
+      val (start, st0, est0) = mat.resume() match {
+        case Some((t, df)) =>
+          val s = fl.ckpt("state", df.select("vid", "sk"))
+          (t, s, estimateOf(s))
+        case None =>
+          // ball(v, 0) = {v}: one single-element sketch per vertex
+          val init = graph.vertices.groupBy("vid")
+            .agg(F.hll_sketch_agg(F.col("vid"), F.lit(lgK)).as("sk"))
+          val s = fl.ckpt("state",
+            mat.iter(0, init.repartition(F.col("vid")), Map("init" -> true)))
+          val e0 = estimateOf(s)
+          mat.note(0, Map("est_pairs" -> e0))
+          (0, s, e0)
+      }
+      var state = st0
+      var t = start
+      val ests = scala.collection.mutable.Map.empty[Int, Double]
+      ests(t) = est0
+      var last = est0
+      var growing = true
+      while (t < maxT && growing) {
+        t += 1
+        val msgs = edges.join(state.withColumnRenamed("vid", "src"), "src")
+          .select(F.col("dst").as("vid"), F.col("sk"))
+        val next = state.unionByName(msgs)
+          .groupBy("vid").agg(F.hll_union_agg(F.col("sk")).as("sk")) // THE shuffle
+        val committed = mat.iter(t, next, Map.empty)
+        state = fl.ckpt("state", committed)
+        val est = estimateOf(state)
+        mat.note(t, Map("est_pairs" -> est))
+        // sketches are monotone: an unchanged global estimate for a round
+        // means every ball's sketch is saturated — the remaining t values
+        // stay flat, exactly like the exact variant's dried frontier
+        growing = est > last
+        ests(t) = est; last = est
+        fl.sweep("state")
+      }
+      // Rounds before a RESUME point come from the durable ledger's
+      // est_pairs notes; rounds after the early-exit stay flat at the
+      // saturated estimate.
+      val noted = mat.log.flatMap(m =>
+        for (i <- m.get("iter"); e <- m.get("est_pairs"))
+          yield (i.toString.toInt, e.toString.toDouble)).toMap
+      val known = noted ++ ests
+      val rows = (0 to maxT).map(i => (i, known.getOrElse(i, last))).toSeq
+      val out = NhoodResult(rows.toDF("t", "est_pairs").orderBy("t"), None, t)
+      mat.close()
+      out
+    }
+
+  /** q-effective diameter from a (t, pairs) frame: the smallest t with
+    * N(t) ≥ q · N(maxT) (integer-valued convention; the frame is tiny —
+    * one row per t — so this is a driver-side fold). */
+  def effectiveDiameter(counts: DataFrame, q: Double = 0.9): Int = {
+    val rows = counts.orderBy("t").collect()
+      .map(r => (r.getInt(0), r.get(1).toString.toDouble))
+    val target = q * rows.last._2
+    rows.collectFirst { case (t, p) if p >= target => t }.getOrElse(rows.last._1)
+  }
+}

@@ -19,6 +19,7 @@ object GraphQueries {
   val TopK = 10
   val KCoreK = 3
   val KCoreRounds = 8
+  val NhoodT = 4
 
   /** Packed hub-split CSR + CsrExpand codegen is the DEFAULT layout for the
     * driver's iterative graph queries (round-3 verdict "Next round #5" —
@@ -85,6 +86,17 @@ object GraphQueries {
   def triangles(spark: SparkSession, dir: String): TriangleResult =
     triangleCache.getOrElseUpdate((spark, dir), Triangles.run(graph(spark, dir)))
 
+  // One exact-BFS run per (session, dir): g_nhood and g_harmonic share the
+  // reach frame (checkpoint-backed final generation — FlatLoop keeps the
+  // latest slot generation alive, same safety argument as rankCache).
+  private val nhoodCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Neighborhood.NhoodResult]
+  graft.Caches.register(() => nhoodCache.clear())
+
+  def nhood(spark: SparkSession, dir: String): Neighborhood.NhoodResult =
+    nhoodCache.getOrElseUpdate((spark, dir),
+      Neighborhood.exact(graph(spark, dir), NhoodT))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_edges" -> ((s, d) =>
       graph(s, d).edges.orderBy("src", "dst", "kind")),
@@ -146,7 +158,12 @@ object GraphQueries {
     }),
 
     "g_tri_pervertex" -> ((s, d) =>
-      triangles(s, d).perVertex.orderBy("vid"))
+      triangles(s, d).perVertex.orderBy("vid")),
+
+    "g_nhood" -> ((s, d) => nhood(s, d).counts),
+
+    "g_harmonic" -> ((s, d) =>
+      Neighborhood.harmonic(graph(s, d), nhood(s, d).reach.get))
   )
 
   def oracles: Map[String, String] = Map(
@@ -161,6 +178,8 @@ object GraphQueries {
     "g_cc" -> OracleSql.gCc,
     "g_lpa" -> OracleSql.gLpa(LpaRounds),
     "g_triangles" -> OracleSql.gTriangles,
-    "g_tri_pervertex" -> OracleSql.gTriPerVertex
+    "g_tri_pervertex" -> OracleSql.gTriPerVertex,
+    "g_nhood" -> OracleSql.gNhood(NhoodT),
+    "g_harmonic" -> OracleSql.gHarmonic(NhoodT)
   )
 }

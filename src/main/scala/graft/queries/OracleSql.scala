@@ -235,6 +235,37 @@ object OracleSql {
     s"""WITH $triangleCtes
        |SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri""".stripMargin
 
+  /** Depth-bounded directed min-distance closure: mind(o, v, dist) with
+    * dist = dist(o→v) ≤ maxT over the distinct directed edge set — matches
+    * Neighborhood.exact's BFS (same de = distinct (src, dst), src ≠ dst). */
+  private def reachCtes(maxT: Int): String =
+    s"""$eventEdges,
+       |de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+       |reach AS (
+       |  SELECT vid AS o, vid AS v, 0 AS dist FROM dict
+       |  UNION
+       |  SELECT r.o, e.dst, r.dist + 1 FROM reach r JOIN de e ON e.src = r.v
+       |  WHERE r.dist < $maxT
+       |),
+       |mind AS MATERIALIZED (SELECT o, v, min(dist) AS dist FROM reach GROUP BY o, v)""".stripMargin
+
+  /** Exact truncated neighborhood function N(t) = |{(o,v) : dist(o→v) ≤ t}|
+    * for t = 0..maxT — matches Neighborhood.exact + cumulativeCounts. */
+  def gNhood(maxT: Int): String =
+    s"""WITH RECURSIVE ${reachCtes(maxT)}
+       |SELECT CAST(ts.t AS INT) AS t, CAST(count(m.v) AS BIGINT) AS pairs
+       |FROM range(0, ${maxT + 1}) ts(t) LEFT JOIN mind m ON m.dist <= ts.t
+       |GROUP BY ts.t ORDER BY t""".stripMargin
+
+  /** T-truncated in-harmonic centrality H(v) = Σ_{o≠v, dist(o→v)≤maxT} 1/dist
+    * — matches Neighborhood.harmonic (round 6, zero for unreached). */
+  def gHarmonic(maxT: Int): String =
+    s"""WITH RECURSIVE ${reachCtes(maxT)},
+       |h AS (SELECT v AS vid, sum(1.0 / dist) AS h FROM mind WHERE dist > 0 GROUP BY v)
+       |SELECT d.vid, round(coalesce(h.h, 0.0), 6) AS harmonic
+       |FROM dict d LEFT JOIN h ON h.vid = d.vid
+       |ORDER BY d.vid""".stripMargin
+
   val gTriPerVertex: String =
     s"""WITH $triangleCtes,
        |cnt AS (SELECT w AS vid, CAST(count(*) AS BIGINT) AS triangles

@@ -138,4 +138,25 @@ object Oracles {
     }
     surv.map(_.toLong)
   }
+
+  /** All-pairs directed BFS distances truncated at maxT: dist(o)(v) = hop
+    * distance along edge direction, -1 beyond maxT / unreachable. */
+  def bfsAll(n: Int, edges: Seq[(Long, Long)], maxT: Int): Array[Array[Int]] = {
+    val adj = Array.fill(n)(scala.collection.mutable.Set.empty[Int])
+    edges.foreach { case (s, d) => if (s != d) adj(s.toInt) += d.toInt }
+    Array.tabulate(n) { o =>
+      val dist = Array.fill(n)(-1)
+      dist(o) = 0
+      var frontier = List(o)
+      var t = 0
+      while (frontier.nonEmpty && t < maxT) {
+        t += 1
+        val next = scala.collection.mutable.ListBuffer.empty[Int]
+        frontier.foreach(v => adj(v).foreach { u =>
+          if (dist(u) < 0) { dist(u) = t; next += u } })
+        frontier = next.toList
+      }
+      dist
+    }
+  }
 }
