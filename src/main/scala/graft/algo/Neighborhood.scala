@@ -46,21 +46,38 @@ object Neighborhood {
     * frame (bucket on "o"); resume recovers the frontier as the max-d
     * slice. */
   def exact(graph: LinkGraph, maxT: Int,
-            mat: Materializer = new LocalMaterializer): NhoodResult =
+            mat: Materializer = new LocalMaterializer): NhoodResult = {
+    val reach = bfsFrom(graph, graph.vertices, maxT, reverse = false, mat)
+    NhoodResult(cumulativeCounts(graph, reach, maxT), Some(reach), maxT)
+  }
+
+  /** Multi-source BFS from an explicit origin set: reach rows (o, v, d)
+    * with d = dist(o→v) ≤ maxT (`reverse = true` walks edges dst→src, so
+    * d = dist(v→o) — distances INTO the origins). The workhorse behind
+    * [[exact]] and HubLabels: per-round cost is one frontier⋈edges join +
+    * an anti-join against the cumulative reach, state O(Σ|ball|) rows
+    * bucketed by origin. Durable per round via `mat`; resume recovers the
+    * frontier as the committed frame's max-d slice. Closes `mat`. */
+  def bfsFrom(graph: LinkGraph, origins: DataFrame, maxT: Int,
+              reverse: Boolean = false,
+              mat: Materializer = new LocalMaterializer): DataFrame =
     IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
       IterativeConf.adaptivePartitions(graph.spark,
         math.max(graph.numVertices, graph.numEdges))))) {
       val fl = new FlatLoop(graph.spark)
-      val edges = mat.shared("de",
-        graph.directed.where(F.col("src") =!= F.col("dst"))
-          .repartition(F.col("src")), repartitionKeys = Seq("src"))
+      val de0 = graph.directed.where(F.col("src") =!= F.col("dst"))
+      val de = if (reverse)
+        de0.select(F.col("dst").as("src"), F.col("src").as("dst")) else de0
+      val edges = mat.shared("de", de.repartition(F.col("src")),
+        repartitionKeys = Seq("src"),
+        fingerprint = Some(s"reverse=$reverse"))
 
       val (start, reach0, frontier0) = mat.resume() match {
         case Some((t, df)) =>
           val r = fl.ckpt("reach", df.select("o", "v", "d"))
           (t, r, fl.ckpt("frontier", r.where(F.col("d") === t).select("o", "v")))
         case None =>
-          val init = graph.vertices.select(
+          val init = origins.select(
             F.col("vid").as("o"), F.col("vid").as("v"), F.lit(0).as("d"))
           val r = fl.ckpt("reach",
             mat.iter(0, init.repartition(F.col("o")), Map("init" -> true)))
@@ -87,10 +104,8 @@ object Neighborhood {
         }
         fl.sweep("reach", "frontier")
       }
-      val counts = cumulativeCounts(graph, reach, maxT)
-      val out = NhoodResult(counts, Some(reach), t)
       mat.close()
-      out
+      reach
     }
 
   /** (t, pairs): cumulative count of reach rows with d ≤ t for every t in

@@ -20,6 +20,9 @@ object GraphQueries {
   val KCoreK = 3
   val KCoreRounds = 8
   val NhoodT = 4
+  val HubL = 4
+  val HubT = 6
+  val HubPairStride = 7
 
   /** Packed hub-split CSR + CsrExpand codegen is the DEFAULT layout for the
     * driver's iterative graph queries (round-3 verdict "Next round #5" —
@@ -97,6 +100,16 @@ object GraphQueries {
     nhoodCache.getOrElseUpdate((spark, dir),
       Neighborhood.exact(graph(spark, dir), NhoodT))
 
+  // One label build per (session, dir): g_hub_labels and g_hub_distq share
+  // the two BFS runs (checkpoint-backed reach frames, same safety argument).
+  private val hubCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), HubLabels.HubResult]
+  graft.Caches.register(() => hubCache.clear())
+
+  def hubLabels(spark: SparkSession, dir: String): HubLabels.HubResult =
+    hubCache.getOrElseUpdate((spark, dir),
+      HubLabels.build(graph(spark, dir), HubL, HubT))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_edges" -> ((s, d) =>
       graph(s, d).edges.orderBy("src", "dst", "kind")),
@@ -163,7 +176,22 @@ object GraphQueries {
     "g_nhood" -> ((s, d) => nhood(s, d).counts),
 
     "g_harmonic" -> ((s, d) =>
-      Neighborhood.harmonic(graph(s, d), nhood(s, d).reach.get))
+      Neighborhood.harmonic(graph(s, d), nhood(s, d).reach.get)),
+
+    "g_hub_labels" -> ((s, d) => {
+      val h = hubLabels(s, d)
+      h.labelsOut.withColumn("dir", F.lit("to_hub"))
+        .unionByName(h.labelsIn.withColumn("dir", F.lit("from_hub")))
+        .orderBy("vid", "hub", "dir")
+    }),
+
+    "g_hub_distq" -> ((s, d) => {
+      val g = graph(s, d)
+      val us = g.vertices.where(F.col("vid") % HubPairStride === 0)
+      val pairs = us.select(F.col("vid").as("u"))
+        .crossJoin(us.select(F.col("vid").as("v")))
+      HubLabels.distances(pairs, hubLabels(s, d)).orderBy("u", "v")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -180,6 +208,8 @@ object GraphQueries {
     "g_triangles" -> OracleSql.gTriangles,
     "g_tri_pervertex" -> OracleSql.gTriPerVertex,
     "g_nhood" -> OracleSql.gNhood(NhoodT),
-    "g_harmonic" -> OracleSql.gHarmonic(NhoodT)
+    "g_harmonic" -> OracleSql.gHarmonic(NhoodT),
+    "g_hub_labels" -> OracleSql.gHubLabels(HubL, HubT),
+    "g_hub_distq" -> OracleSql.gHubDistq(HubL, HubT, HubPairStride)
   )
 }

@@ -266,6 +266,55 @@ object OracleSql {
        |FROM dict d LEFT JOIN h ON h.vid = d.vid
        |ORDER BY d.vid""".stripMargin
 
+  /** Landmark distance labels: top-L degree landmarks, depth-bounded
+    * forward/backward closures — matches HubLabels.build (same degree
+    * definition, same (deg DESC, vid) tie-break, same maxT truncation). */
+  private def hubCtes(l: Int, maxT: Int): String =
+    s"""$eventEdges,
+       |de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+       |lm AS MATERIALIZED (
+       |  SELECT vid FROM (
+       |    SELECT w AS vid, count(*) AS deg FROM (
+       |      SELECT src AS w FROM de UNION ALL SELECT dst FROM de)
+       |    GROUP BY w)
+       |  ORDER BY deg DESC, vid ASC LIMIT $l),
+       |fwd AS (
+       |  SELECT vid AS hub, vid AS v, 0 AS d FROM lm
+       |  UNION
+       |  SELECT f.hub, e.dst, f.d + 1 FROM fwd f JOIN de e ON e.src = f.v
+       |  WHERE f.d < $maxT
+       |),
+       |fmin AS MATERIALIZED (SELECT hub, v, CAST(min(d) AS INT) AS d FROM fwd GROUP BY hub, v),
+       |bwd AS (
+       |  SELECT vid AS hub, vid AS v, 0 AS d FROM lm
+       |  UNION
+       |  SELECT b.hub, e.src, b.d + 1 FROM bwd b JOIN de e ON e.dst = b.v
+       |  WHERE b.d < $maxT
+       |),
+       |bmin AS MATERIALIZED (SELECT hub, v, CAST(min(d) AS INT) AS d FROM bwd GROUP BY hub, v)""".stripMargin
+
+  /** Both label sides: (vid, hub, d, dir) with dir ∈ {to_hub, from_hub} —
+    * matches the g_hub_labels union. */
+  def gHubLabels(l: Int, maxT: Int): String =
+    s"""WITH RECURSIVE ${hubCtes(l, maxT)}
+       |SELECT v AS vid, hub, d, 'to_hub' AS dir FROM bmin
+       |UNION ALL
+       |SELECT v AS vid, hub, d, 'from_hub' AS dir FROM fmin
+       |ORDER BY vid, hub, dir""".stripMargin
+
+  /** Label-join distance bound over the deterministic vid-stride pair
+    * sample: dist_ub = min over shared hubs of d(u→hub) + d(hub→v) —
+    * matches HubLabels.distances (pairs with no shared hub emit no row). */
+  def gHubDistq(l: Int, maxT: Int, stride: Int): String =
+    s"""WITH RECURSIVE ${hubCtes(l, maxT)},
+       |s AS (SELECT vid FROM dict WHERE vid % $stride = 0)
+       |SELECT a.vid AS u, b.vid AS v, CAST(min(lo.d + li.d) AS INT) AS dist_ub
+       |FROM s a CROSS JOIN s b
+       |JOIN bmin lo ON lo.v = a.vid
+       |JOIN fmin li ON li.v = b.vid AND li.hub = lo.hub
+       |GROUP BY a.vid, b.vid
+       |ORDER BY u, v""".stripMargin
+
   val gTriPerVertex: String =
     s"""WITH $triangleCtes,
        |cnt AS (SELECT w AS vid, CAST(count(*) AS BIGINT) AS triangles
