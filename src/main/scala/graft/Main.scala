@@ -17,7 +17,8 @@ import graft.io.ParquetManifestIO
   *
   * Sources (one of): --input <transcripts parquet>, --events <events parquet>,
   * or --conv N [--seed 42] (deterministic synthetic transcripts).
-  * Commands: pagerank | ppr | cc | lpa | triangles | kcore | scc | dedup | ann.
+  * Commands: pagerank | ppr | cc | lpa | triangles | kcore | scc | nhood |
+  * hubs | dedup | ann.
   * Without --resume, a fresh run clears the checkpoint root first;
   * with --resume, the loop continues from the last committed iteration.
   */
@@ -40,7 +41,7 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <pagerank|ppr|cc|lpa|triangles|kcore|scc|dedup|ann> ...
+    """usage: graft.Main <pagerank|ppr|cc|lpa|triangles|kcore|scc|nhood|hubs|dedup|ann> ...
       |graph commands: [--input P|--events P|--conv N]
       |  [--seed 42] [--out DIR] [--ckpt DIR] [--resume] [--tol 1e-6]
       |  [--damping 0.85] [--max-iters 100] [--rounds 10] [--local N]
@@ -49,6 +50,8 @@ object Main {
       |               prefix over the dict, or a (vid) parquet)
       |  [--k 3] [--max-rounds 8]  (kcore)
       |  [--max-phases 20]  (scc)
+      |  [--mode exact|hyperball] [--max-t 8] [--lgk 12]  (nhood)
+      |  [--landmarks 16] [--max-t 6]  (hubs)
       |  [--packed]  (pagerank|cc|lpa: hub-split CSR layout + CsrExpand operator)
       |  [--warm P]  (pagerank / cc hashmin: seed from a prior run's --out dir —
       |               ranks/labels are remapped onto the current graph's ids via
@@ -297,6 +300,45 @@ object Main {
         val r = Triangles.run(graph, materializer(spark, opts, "triangles"))
         write(r.perVertex.orderBy("vid"), "triangles")
         println(s"""{"cmd":"triangles","total":${r.total},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "nhood" =>
+        // Neighborhood function N(t), t = 0..--max-t. --mode exact (BFS
+        // pairs; also writes harmonic centrality) or hyperball (HLL
+        // sketches — the 10⁹-vertex shape; estimates, no reach frame).
+        // maxT/lgK enter the run fingerprint: a durable --resume with a
+        // changed horizon or sketch width recomputes instead of mixing.
+        val maxT = opts.getOrElse("max-t", "8").toInt
+        val mode = opts.getOrElse("mode", "exact")
+        mode match {
+          case "exact" =>
+            val r = Neighborhood.exact(graph, maxT,
+              materializer(spark, opts, "nhood", bucketCol = "o",
+                extraTokens = Seq(s"maxT=$maxT", "mode=exact")))
+            write(r.counts, "nhood")
+            write(Neighborhood.harmonic(graph, r.reach.get), "harmonic")
+          case "hyperball" =>
+            val lgK = opts.getOrElse("lgk", "12").toInt
+            val r = Neighborhood.hyperball(graph, maxT, lgK,
+              materializer(spark, opts, "hyperball", bucketCol = "vid",
+                extraTokens = Seq(s"maxT=$maxT", s"lgK=$lgK", "mode=hyperball")))
+            write(r.counts, "nhood")
+          case m => sys.error(s"unknown nhood mode $m\n$usage")
+        }
+        writeDict()
+        println(s"""{"cmd":"nhood","mode":"$mode","max_t":$maxT,"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "hubs" =>
+        // Landmark distance labels: top-L degree landmarks, BFS from/into
+        // them; labels answer dist(u→v) ≤ min_h d(u→h)+d(h→v) by join.
+        val l = opts.getOrElse("landmarks", "16").toInt
+        val maxT = opts.getOrElse("max-t", "6").toInt
+        val r = HubLabels.build(graph, l, maxT,
+          matFwd = materializer(spark, opts, "hubf", bucketCol = "o",
+            extraTokens = Seq(s"L=$l", s"maxT=$maxT", "side=fwd")),
+          matBwd = materializer(spark, opts, "hubb", bucketCol = "o",
+            extraTokens = Seq(s"L=$l", s"maxT=$maxT", "side=bwd")))
+        write(r.labelsIn.orderBy("vid", "hub"), "labels_in")
+        write(r.labelsOut.orderBy("vid", "hub"), "labels_out")
+        writeDict()
+        println(s"""{"cmd":"hubs","landmarks":$l,"max_t":$maxT,"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "dedup" =>
         // exact: md5 canonicalization; clusters: the end-to-end LSH →
         // verify → CC pipeline; embed: cosine near-dup pairs. With

@@ -897,6 +897,59 @@ object PipelineQueries {
        |FROM toks t LEFT JOIN vocab v ON v.w = t.w CROSS JOIN total tt
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ------------------------------------- deterministic sampling (round 5)
+
+  /** Keep ≈ bound/0x10000 of DISTINCT CONTENTS: hex-prefix threshold on
+    * md5(text). Content-keyed (not doc_id-keyed) on purpose — identical
+    * texts always land on the same side of the cut, so the sample is
+    * stable across corpus snapshots and dedup runs (the training-pipeline
+    * "hash sampling" discipline). Pure map-side: a projection + filter,
+    * no shuffle, scales embarrassingly. */
+  val SampleHexBound = "2000" // 0x2000/0x10000 = 1/8 of distinct contents
+
+  def dSampleHash(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(F.col("doc_id"), F.col("lang"),
+        F.substring(F.md5(F.col("text")), 1, 4).as("sample_key"))
+      .where(F.col("sample_key") < SampleHexBound)
+      .orderBy("doc_id")
+
+  val dSampleHashSql: String =
+    s"""SELECT doc_id, lang, substr(md5(text), 1, 4) AS sample_key
+       |FROM documents
+       |WHERE substr(md5(text), 1, 4) < '$SampleHexBound'
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-language balanced sample: the K docs with the smallest
+    * (md5(text), doc_id) per lang — a deterministic stratified
+    * downsampler. Implemented with the bounded BottomKByKey Aggregator,
+    * NOT a window: row_number-over-stratum would shuffle + sort the WHOLE
+    * corpus into a handful of lang reducers (terabytes each at 100 TB);
+    * the Aggregator partial-combines map-side, so each partition sends ≤ K
+    * rows per lang to the exchange and nothing is globally sorted.
+    * Ordering contract identical to the window (parity in SampleSpec). */
+  val StratK = 20
+
+  def dSampleStratified(s: SparkSession, d: String): DataFrame = {
+    val bk = F.udaf(new graft.functions.BottomKByKey(StratK),
+      org.apache.spark.sql.Encoders.product[(String, Long)])
+    docs(s, d)
+      .select(F.col("lang"), F.col("doc_id"), F.md5(F.col("text")).as("sample_key"))
+      .groupBy("lang").agg(bk(F.col("sample_key"), F.col("doc_id")).as("picked"))
+      .select(F.col("lang"), F.posexplode(F.col("picked")).as(Seq("pos", "m")))
+      .select(F.col("lang"), (F.col("pos") + 1).cast("int").as("rk"),
+        F.col("m._1").as("sample_key"), F.col("m._2").as("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
+  val dSampleStratifiedSql: String =
+    s"""WITH r AS (
+       |  SELECT lang, doc_id, md5(text) AS sample_key,
+       |         row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+       |  FROM documents)
+       |SELECT lang, CAST(rk AS INT) AS rk, sample_key, doc_id
+       |FROM r WHERE rk <= $StratK ORDER BY lang, rk""".stripMargin
+
   // ------------------------------------------------------------ similarity
 
   def eCosineTopk(s: SparkSession, d: String): DataFrame = {
@@ -1025,6 +1078,8 @@ object PipelineQueries {
     "d_decontam" -> (dDecontam _),
     "d_repetition" -> (dRepetition _),
     "d_unigram_lp" -> (dUnigramLp _),
+    "d_sample_hash" -> (dSampleHash _),
+    "d_sample_stratified" -> (dSampleStratified _),
     "e_cosine_topk" -> (eCosineTopk _),
     // LSH-bucketed ANN, the scale path of e_cosine_topk; hyperplanes are
     // deterministic, so the bucket assignment + top-k has a full DuckDB
@@ -1083,6 +1138,8 @@ object PipelineQueries {
     "d_decontam" -> dDecontamSql,
     "d_repetition" -> dRepetitionSql,
     "d_unigram_lp" -> dUnigramLpSql,
+    "d_sample_hash" -> dSampleHashSql,
+    "d_sample_stratified" -> dSampleStratifiedSql,
     "e_cosine_topk" -> eCosineTopkSql,
     "e_ann_lsh" -> graft.pipeline.Similarity.annLshSql(AnnQueries, AnnK, AnnDim,
       planes = oraclePlanes),
