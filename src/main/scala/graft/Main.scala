@@ -181,6 +181,14 @@ object Main {
           opts.getOrElse("shuffle-partitions", "32").toInt)
     }
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** The CLI body against a CALLER-OWNED session — what `main` wraps with
+    * session setup/stop, and what CliSpec drives end-to-end in-process
+    * (stopping the shared test session is not an option there). */
+  private[graft] def run(spark: SparkSession, args: Array[String]): Unit = {
+    val (cmd, opts) = parseArgs(args)
     val t0 = System.nanoTime()
     lazy val graph = loadGraph(spark, opts) // pipeline commands need no graph
 
@@ -370,6 +378,5 @@ object Main {
         println(s"""{"cmd":"ann","index":"$index","rows":$rows,"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case other => sys.error(s"unknown command $other\n$usage")
     }
-    spark.stop()
   }
 }

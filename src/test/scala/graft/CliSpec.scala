@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.algo.{HubLabels, Neighborhood, Scc}
+import graft.gen.TranscriptGen
+import graft.graph.GraphBuilder
+
+/** End-to-end CLI coverage for the commands added in rounds 4-5 (scc,
+  * nhood exact/hyperball, hubs) — `Main.run` driven in-process against the
+  * shared session, outputs read back from `--out` parquet and compared to
+  * direct API runs on the identical generated input. The dict snapshot
+  * must ride along with every graph command's output (it is what makes the
+  * output consumable as a future --warm seed / joinable back to keys).
+  */
+class CliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("graft-cli-").toString
+
+  private val Conv = "30"
+  private lazy val graph = GraphBuilder.fromTranscripts(
+    TranscriptGen.transcripts(spark, nConvs = Conv.toLong, seed = 42).toDF())
+
+  test("scc CLI: labels match a direct Scc.run; dict snapshot written") {
+    val out = tmp()
+    Main.run(spark, Array("scc", "--conv", Conv, "--out", out))
+    val cli = spark.read.parquet(s"$out/scc").orderBy("vid")
+      .as[(Long, Long)].collect().toSeq
+    val api = Scc.run(graph).labels.orderBy("vid")
+      .as[(Long, Long)].collect().toSeq
+    assert(cli == api)
+    val dict = spark.read.parquet(s"$out/dict")
+    assert(dict.count() == graph.dict.count())
+  }
+
+  test("nhood CLI (exact): N(t) and harmonic match the API; ckpt + resume-less rerun identical") {
+    val out = tmp()
+    val maxT = 3
+    Main.run(spark, Array("nhood", "--conv", Conv, "--max-t", maxT.toString,
+      "--out", out, "--ckpt", tmp()))
+    val cliCounts = spark.read.parquet(s"$out/nhood").orderBy("t")
+      .as[(Int, Long)].collect().toSeq
+    val r = Neighborhood.exact(graph, maxT)
+    val apiCounts = r.counts.orderBy("t").as[(Int, Long)].collect().toSeq
+    assert(cliCounts == apiCounts)
+    val cliHarm = spark.read.parquet(s"$out/harmonic").orderBy("vid")
+      .as[(Long, Double)].collect().toSeq
+    val apiHarm = Neighborhood.harmonic(graph, r.reach.get).orderBy("vid")
+      .as[(Long, Double)].collect().toSeq
+    assert(cliHarm.map(_._1) == apiHarm.map(_._1))
+    cliHarm.zip(apiHarm).foreach { case ((v, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-12, s"vid $v: $a vs $b") }
+  }
+
+  test("nhood CLI (hyperball): writes estimates within HLL error of exact N(t)") {
+    val out = tmp()
+    val maxT = 3
+    Main.run(spark, Array("nhood", "--conv", Conv, "--mode", "hyperball",
+      "--max-t", maxT.toString, "--lgk", "12", "--out", out))
+    val est = spark.read.parquet(s"$out/nhood").orderBy("t")
+      .select("t", "est_pairs").as[(Int, Double)].collect().toSeq
+    val exact = Neighborhood.exact(graph, maxT).counts.orderBy("t")
+      .as[(Int, Long)].collect().toMap
+    assert(est.map(_._1) == (0 to maxT))
+    est.foreach { case (t, e) =>
+      val truth = exact(t).toDouble
+      // 2^12 registers → ~1.6% relative standard error; allow 5 sigma
+      assert(math.abs(e - truth) / truth < 0.09, s"t=$t: est $e vs $truth")
+    }
+  }
+
+  test("hubs CLI: both label sides match HubLabels.build; distances answerable from the output") {
+    val out = tmp()
+    val (l, maxT) = (4, 4)
+    Main.run(spark, Array("hubs", "--conv", Conv, "--landmarks", l.toString,
+      "--max-t", maxT.toString, "--out", out))
+    val api = HubLabels.build(graph, l, maxT)
+    def slurp(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vid", "hub").as[(Long, Long, Int)].collect().toSeq
+    assert(slurp(spark.read.parquet(s"$out/labels_in")) == slurp(api.labelsIn))
+    assert(slurp(spark.read.parquet(s"$out/labels_out")) == slurp(api.labelsOut))
+
+    // the written labels answer distance queries exactly like the API
+    // path; probe endpoints are drawn from label-carrying vertices so at
+    // least some pairs share a hub within the horizon
+    val us = spark.read.parquet(s"$out/labels_out")
+      .select("vid").distinct().orderBy("vid").limit(4)
+    val vs = spark.read.parquet(s"$out/labels_in")
+      .select("vid").distinct().orderBy("vid").limit(4)
+    val pairs = us.select(F2.col("vid").as("u"))
+      .crossJoin(vs.select(F2.col("vid").as("v")))
+      .where(F2.col("u") =!= F2.col("v"))
+    val fromDisk = HubLabels.HubResult(
+      labelsOut = spark.read.parquet(s"$out/labels_out"),
+      labelsIn = spark.read.parquet(s"$out/labels_in"),
+      landmarks = spark.emptyDataFrame)
+    val a = HubLabels.distances(pairs, fromDisk).orderBy("u", "v")
+      .as[(Long, Long, Int)].collect().toSeq
+    val b = HubLabels.distances(pairs, api).orderBy("u", "v")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  private val F2 = org.apache.spark.sql.functions
+}
