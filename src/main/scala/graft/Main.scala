@@ -17,8 +17,8 @@ import graft.io.ParquetManifestIO
   *
   * Sources (one of): --input <transcripts parquet>, --events <events parquet>,
   * or --conv N [--seed 42] (deterministic synthetic transcripts).
-  * Commands: pagerank | ppr | cc | lpa | triangles | kcore | scc | nhood |
-  * hubs | dedup | ann.
+  * Commands: pagerank | ppr | cc | lpa | triangles | kcore | scc | sssp |
+  * nhood | hubs | dedup | ann.
   * Without --resume, a fresh run clears the checkpoint root first;
   * with --resume, the loop continues from the last committed iteration.
   */
@@ -41,7 +41,7 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <pagerank|ppr|cc|lpa|triangles|kcore|scc|nhood|hubs|dedup|ann> ...
+    """usage: graft.Main <pagerank|ppr|cc|lpa|triangles|kcore|scc|sssp|nhood|hubs|dedup|ann> ...
       |graph commands: [--input P|--events P|--conv N]
       |  [--seed 42] [--out DIR] [--ckpt DIR] [--resume] [--tol 1e-6]
       |  [--damping 0.85] [--max-iters 100] [--rounds 10] [--local N]
@@ -50,6 +50,7 @@ object Main {
       |               prefix over the dict, or a (vid) parquet)
       |  [--k 3] [--max-rounds 8]  (kcore)
       |  [--max-phases 20]  (scc)
+      |  [--origins P|--origin-prefix user:|--origin-stride 5] [--max-rounds 20]  (sssp)
       |  [--mode exact|hyperball] [--max-t 8] [--lgk 12]  (nhood)
       |  [--landmarks 16] [--max-t 6]  (hubs)
       |  [--packed]  (pagerank|cc|lpa: hub-split CSR layout + CsrExpand operator)
@@ -260,6 +261,33 @@ object Main {
         write(r.ranks.orderBy(F.col("rank").desc, F.col("vid")), "ranks")
         writeDict()
         println(s"""{"cmd":"ppr","iterations":${r.iterations},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "sssp" =>
+        // Weighted multi-source shortest paths (Bellman-Ford relaxation,
+        // per-kind integer costs). Origins: an explicit (vid) parquet, an
+        // entity-key prefix over the dict, or the vid-stride default (the
+        // g_sssp driver-query shape). Origin spec + horizon enter the run
+        // fingerprint: a durable --resume with a different origin set or
+        // maxRounds recomputes instead of mixing state (the ppr lesson).
+        val origins = opts.get("origins") match {
+          case Some(p) => spark.read.parquet(p).select("vid")
+          case None => opts.get("origin-prefix") match {
+            case Some(prefix) =>
+              graph.dict.where(F.col("key").startsWith(prefix)).select("vid")
+            case None =>
+              val stride = opts.getOrElse("origin-stride", "5").toInt
+              graph.vertices.where(F.col("vid") % stride === 0)
+          }
+        }
+        val originToken = opts.get("origins").map("origins=" + _)
+          .orElse(opts.get("origin-prefix").map("origin-prefix=" + _))
+          .getOrElse(s"origin-stride=${opts.getOrElse("origin-stride", "5")}")
+        val maxRounds = opts.getOrElse("max-rounds", "20").toInt
+        val r = ShortestPaths.run(graph, origins, maxRounds,
+          mat = materializer(spark, opts, "sssp", bucketCol = "o",
+            extraTokens = Seq(originToken, s"maxRounds=$maxRounds")))
+        write(r.dists.orderBy("o", "v"), "sssp")
+        writeDict()
+        println(s"""{"cmd":"sssp","rounds":${r.rounds},"converged":${r.converged},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "kcore" =>
         // k is part of the run identity: a durable --resume with a changed
         // k is refused by the run-fingerprint guard instead of silently

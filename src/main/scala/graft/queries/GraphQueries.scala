@@ -23,6 +23,8 @@ object GraphQueries {
   val HubL = 4
   val HubT = 6
   val HubPairStride = 7
+  val SsspStride = 5
+  val SsspRounds = 8
 
   /** Packed hub-split CSR + CsrExpand codegen is the DEFAULT layout for the
     * driver's iterative graph queries (round-3 verdict "Next round #5" —
@@ -191,6 +193,43 @@ object GraphQueries {
       val pairs = us.select(F.col("vid").as("u"))
         .crossJoin(us.select(F.col("vid").as("v")))
       HubLabels.distances(pairs, hubLabels(s, d)).orderBy("u", "v")
+    }),
+
+    // Weighted SSSP (Bellman-Ford relaxation, per-kind integer costs) from
+    // a deterministic vid-stride origin set — the weighted counterpart of
+    // the BFS-backed queries above.
+    "g_sssp" -> ((s, d) => {
+      val g = graph(s, d)
+      val origins = g.vertices.where(F.col("vid") % SsspStride === 0)
+      ShortestPaths.run(g, origins, SsspRounds).dists.orderBy("o", "v")
+    }),
+
+    // Truncated out-eccentricity + reachable-ball size per vertex, derived
+    // from the SHARED exact-BFS reach frame (no extra BFS run).
+    "g_ecc" -> ((s, d) =>
+      nhood(s, d).reach.get.groupBy(F.col("o").as("vid"))
+        .agg(F.max("d").cast("int").as("ecc"),
+          F.count(F.lit(1)).as("reached"))
+        .orderBy("vid")),
+
+    // Local clustering coefficient over the undirected simple graph:
+    // lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0 when deg ≤ 1 — derived
+    // from the SHARED triangle run + one degree agg (no extra wedge join).
+    "g_clustering" -> ((s, d) => {
+      val g = graph(s, d)
+      val und = g.symmetrized.where(F.col("src") =!= F.col("dst"))
+      val deg = und.groupBy(F.col("src").as("vid"))
+        .agg(F.count(F.lit(1)).as("deg"))
+      g.vertices
+        .join(deg, Seq("vid"), "left")
+        .join(triangles(s, d).perVertex, Seq("vid"), "left")
+        .select(F.col("vid"),
+          F.coalesce(F.col("deg"), F.lit(0L)).as("deg"),
+          F.coalesce(F.col("triangles"), F.lit(0L)).as("triangles"),
+          F.round(F.when(F.coalesce(F.col("deg"), F.lit(0L)) <= 1, F.lit(0.0))
+            .otherwise(F.coalesce(F.col("triangles"), F.lit(0L)) * 2.0 /
+              (F.col("deg") * (F.col("deg") - 1))), 6).as("lcc"))
+        .orderBy("vid")
     })
   )
 
@@ -210,6 +249,9 @@ object GraphQueries {
     "g_nhood" -> OracleSql.gNhood(NhoodT),
     "g_harmonic" -> OracleSql.gHarmonic(NhoodT),
     "g_hub_labels" -> OracleSql.gHubLabels(HubL, HubT),
-    "g_hub_distq" -> OracleSql.gHubDistq(HubL, HubT, HubPairStride)
+    "g_hub_distq" -> OracleSql.gHubDistq(HubL, HubT, HubPairStride),
+    "g_sssp" -> OracleSql.gSssp(SsspStride, SsspRounds),
+    "g_ecc" -> OracleSql.gEcc(NhoodT),
+    "g_clustering" -> OracleSql.gClustering
   )
 }

@@ -315,6 +315,56 @@ object OracleSql {
        |GROUP BY a.vid, b.vid
        |ORDER BY u, v""".stripMargin
 
+  /** Hop-bounded weighted shortest-path closure from the vid-stride origin
+    * set: dist(o→v) = min cost over paths of ≤ maxRounds edges, edge cost
+    * per-kind (adjacency 1, tool-invocation 2, parallel edges min) —
+    * matches ShortestPaths.run's Bellman-Ford semantics exactly. The
+    * recursive enumeration is finite: (o, v, dist, hops) with dist ≤
+    * 2·maxRounds and hops ≤ maxRounds. */
+  def gSssp(stride: Int, maxRounds: Int): String =
+    s"""WITH RECURSIVE $eventEdges,
+       |wde AS MATERIALIZED (
+       |  SELECT src, dst, min(CASE WHEN kind = 1 THEN 1 ELSE 2 END) AS cost
+       |  FROM edges WHERE src <> dst GROUP BY src, dst),
+       |paths AS (
+       |  SELECT vid AS o, vid AS v, 0 AS dist, 0 AS hops
+       |  FROM dict WHERE vid % $stride = 0
+       |  UNION
+       |  SELECT p.o, e.dst, p.dist + e.cost, p.hops + 1
+       |  FROM paths p JOIN wde e ON e.src = p.v
+       |  WHERE p.hops < $maxRounds)
+       |SELECT o, v, CAST(min(dist) AS INT) AS dist
+       |FROM paths GROUP BY o, v ORDER BY o, v""".stripMargin
+
+  /** Truncated out-eccentricity + reached-ball size per vertex from the
+    * same depth-bounded closure as gNhood — matches the g_ecc derivation
+    * from Neighborhood.exact's reach frame. */
+  def gEcc(maxT: Int): String =
+    s"""WITH RECURSIVE ${reachCtes(maxT)}
+       |SELECT o AS vid, CAST(max(dist) AS INT) AS ecc,
+       |       CAST(count(*) AS BIGINT) AS reached
+       |FROM mind GROUP BY o ORDER BY vid""".stripMargin
+
+  /** Local clustering coefficient over the undirected simple graph —
+    * triangle counts from the same degree-ordered closure as
+    * gTriPerVertex, degree from the symmetric distinct edge set. */
+  val gClustering: String =
+    s"""WITH $triangleCtes,
+       |cnt AS (SELECT w AS vid, CAST(count(*) AS BIGINT) AS triangles
+       |        FROM (SELECT a AS w FROM tri UNION ALL SELECT b FROM tri
+       |              UNION ALL SELECT c FROM tri)
+       |        GROUP BY w)
+       |SELECT d.vid,
+       |       coalesce(dg.d, 0) AS deg,
+       |       coalesce(cnt.triangles, 0) AS triangles,
+       |       round(CASE WHEN coalesce(dg.d, 0) <= 1 THEN 0.0
+       |             ELSE coalesce(cnt.triangles, 0) * 2.0 / (dg.d * (dg.d - 1))
+       |             END, 6) AS lcc
+       |FROM dict d
+       |LEFT JOIN dg ON dg.vid = d.vid
+       |LEFT JOIN cnt ON cnt.vid = d.vid
+       |ORDER BY d.vid""".stripMargin
+
   val gTriPerVertex: String =
     s"""WITH $triangleCtes,
        |cnt AS (SELECT w AS vid, CAST(count(*) AS BIGINT) AS triangles

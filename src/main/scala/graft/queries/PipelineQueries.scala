@@ -950,6 +950,97 @@ object PipelineQueries {
        |SELECT lang, CAST(rk AS INT) AS rk, sample_key, doc_id
        |FROM r WHERE rk <= $StratK ORDER BY lang, rk""".stripMargin
 
+  // ----------------------------------------- corpus statistics (round 5)
+
+  /** Top-[[TfidfK]] terms per doc by tf·idf, idf = ln(N/df) (no smoothing:
+    * df ≥ 1 for every term that appears). The per-doc ranking is a window
+    * PARTITIONED BY doc_id — scale-correct, unlike the per-stratum window
+    * d_sample_stratified avoids: doc_id cardinality ≈ corpus size, so the
+    * exchange is a uniform hash repartition and each partition sorts only
+    * single-document term lists (bounded by doc length). Ties broken by
+    * term text; scores rounded to 6dp AND ranked on the rounded value so
+    * the Spark and DuckDB float paths cannot disagree about the cut. */
+  val TfidfK = 3
+
+  def dTfidf(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d).select(F.col("doc_id"),
+      F.explode(F.expr("filter(split(text, ' '), w -> w <> '')")).as("w"))
+    val tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).as("tf"))
+    val df = toks.distinct().groupBy("w").agg(F.count(F.lit(1)).as("df"))
+    val n = docs(s, d).count().toDouble
+    val scored = tf.join(df, "w")
+      .select(F.col("doc_id"), F.col("w"), F.col("tf"),
+        F.round(F.col("tf") * F.log(F.lit(n) / F.col("df")), 6).as("tfidf"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(F.col("tfidf").desc, F.col("w"))
+    scored.withColumn("rk", F.row_number().over(win).cast("int"))
+      .where(F.col("rk") <= TfidfK)
+      .select("doc_id", "rk", "w", "tf", "tfidf")
+      .orderBy("doc_id", "rk")
+  }
+
+  val dTfidfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+       |df AS (SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.w, tf.tf, round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+       |  FROM tf JOIN df ON df.w = tf.w CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, w, tf, tfidf,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS INT) AS rk
+       |  FROM scored)
+       |SELECT doc_id, rk, w, tf, tfidf FROM ranked
+       |WHERE rk <= $TfidfK ORDER BY doc_id, rk""".stripMargin
+
+  /** Per-language sampling weights with temperature α = [[MixAlpha]] —
+    * the multilingual mixing discipline (upsample the tail so low-resource
+    * strata are not drowned by the head): weight_l ∝ share_l^α,
+    * normalized to sum 1. One token-count agg over the corpus (map-side
+    * combinable) + a broadcast-sized per-lang table; the fixture has a
+    * handful of langs but the agg shape is correct at any stratum count. */
+  val MixAlpha = 0.3
+
+  def dMixWeights(s: SparkSession, d: String): DataFrame = {
+    val perLang = docs(s, d)
+      .select(F.col("lang"),
+        F.size(F.expr("filter(split(text, ' '), w -> w <> '')")).cast("long").as("toks"))
+      .groupBy("lang").agg(F.sum("toks").as("n_tokens"), F.count(F.lit(1)).as("n_docs"))
+    // the lang table is broadcast-sized by definition; window-over-all here
+    // is a single-partition agg over |langs| rows, not over the corpus
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(F.lit(1)).rowsBetween(Long.MinValue, Long.MaxValue)
+    perLang
+      .withColumn("share", F.col("n_tokens") / F.sum("n_tokens").over(win))
+      .withColumn("w_raw", F.pow(F.col("share"), F.lit(MixAlpha)))
+      .withColumn("weight", F.round(F.col("w_raw") / F.sum("w_raw").over(win), 6))
+      .select(F.col("lang"), F.col("n_docs"), F.col("n_tokens"),
+        F.round(F.col("share"), 6).as("share"), F.col("weight"))
+      .orderBy("lang")
+  }
+
+  val dMixWeightsSql: String =
+    s"""WITH perlang AS (
+       |  SELECT lang,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |shared AS (
+       |  SELECT lang, n_docs, n_tokens,
+       |         n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS share
+       |  FROM perlang),
+       |weighted AS (
+       |  SELECT lang, n_docs, n_tokens, share,
+       |         pow(share, $MixAlpha) / sum(pow(share, $MixAlpha)) OVER () AS weight
+       |  FROM shared)
+       |SELECT lang, n_docs, n_tokens, round(share, 6) AS share,
+       |       round(weight, 6) AS weight
+       |FROM weighted ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------ similarity
 
   def eCosineTopk(s: SparkSession, d: String): DataFrame = {
@@ -1080,6 +1171,8 @@ object PipelineQueries {
     "d_unigram_lp" -> (dUnigramLp _),
     "d_sample_hash" -> (dSampleHash _),
     "d_sample_stratified" -> (dSampleStratified _),
+    "d_tfidf" -> (dTfidf _),
+    "d_mix_weights" -> (dMixWeights _),
     "e_cosine_topk" -> (eCosineTopk _),
     // LSH-bucketed ANN, the scale path of e_cosine_topk; hyperplanes are
     // deterministic, so the bucket assignment + top-k has a full DuckDB
@@ -1140,6 +1233,8 @@ object PipelineQueries {
     "d_unigram_lp" -> dUnigramLpSql,
     "d_sample_hash" -> dSampleHashSql,
     "d_sample_stratified" -> dSampleStratifiedSql,
+    "d_tfidf" -> dTfidfSql,
+    "d_mix_weights" -> dMixWeightsSql,
     "e_cosine_topk" -> eCosineTopkSql,
     "e_ann_lsh" -> graft.pipeline.Similarity.annLshSql(AnnQueries, AnnK, AnnDim,
       planes = oraclePlanes),
