@@ -25,6 +25,8 @@ object GraphQueries {
   val HubPairStride = 7
   val SsspStride = 5
   val SsspRounds = 8
+  val AaStride = 3
+  val AaK = 5
 
   /** Packed hub-split CSR + CsrExpand codegen is the DEFAULT layout for the
     * driver's iterative graph queries (round-3 verdict "Next round #5" —
@@ -230,6 +232,81 @@ object GraphQueries {
             .otherwise(F.coalesce(F.col("triangles"), F.lit(0L)) * 2.0 /
               (F.col("deg") * (F.col("deg") - 1))), 6).as("lcc"))
         .orderBy("vid")
+    }),
+
+    // Degree histogram over the undirected simple graph — the first thing
+    // anyone plots about a link graph. Two aggs: per-vertex degree (one
+    // shuffle on vid), then the tiny deg→count rollup.
+    "g_degdist" -> ((s, d) => {
+      val g = graph(s, d)
+      val und = g.symmetrized.where(F.col("src") =!= F.col("dst"))
+      val deg = und.groupBy(F.col("src").as("vid"))
+        .agg(F.count(F.lit(1)).as("deg"))
+      g.vertices.join(deg, Seq("vid"), "left")
+        .select(F.coalesce(F.col("deg"), F.lit(0L)).as("deg"))
+        .groupBy("deg").agg(F.count(F.lit(1)).as("n_vertices"))
+        .orderBy("deg")
+    }),
+
+    // Degree assortativity (Pearson r of endpoint degrees over the
+    // symmetric simple edge list). All moments are accumulated as EXACT
+    // integer sums (degrees are ints) and the float formula is applied
+    // once at the end — so Spark's and DuckDB's aggregation orders cannot
+    // produce different doubles, unlike a naive corr() over floats.
+    "g_assortativity" -> ((s, d) => {
+      val g = graph(s, d)
+      val und = g.symmetrized.where(F.col("src") =!= F.col("dst"))
+      val deg = und.groupBy(F.col("src").as("vid"))
+        .agg(F.count(F.lit(1)).as("deg"))
+      val pairs = und
+        .join(deg.select(F.col("vid").as("src"), F.col("deg").as("dx")), "src")
+        .join(deg.select(F.col("vid").as("dst"), F.col("deg").as("dy")), "dst")
+      val m = pairs.agg(
+        F.count(F.lit(1)).as("n"),
+        F.sum("dx").as("sx"), F.sum("dy").as("sy"),
+        F.sum(F.col("dx") * F.col("dy")).as("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).as("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).as("syy"))
+      m.select(F.col("n").as("n_dir_edges"),
+        F.round(
+          (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) /
+            (F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) *
+             F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+          6).as("assortativity"))
+    }),
+
+    // Adamic-Adar link prediction from a deterministic vid-stride anchor
+    // set: score(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) over candidate v
+    // at 2 hops, existing edges excluded, top-K per anchor. Work is one
+    // 2-hop expansion from the ANCHORS (Σ_{w∈N(u)} deg(w) rows per
+    // anchor), not a corpus-wide wedge join; the top-K window partitions
+    // by anchor (cardinality ≈ n/stride — uniform exchange). Ranked on
+    // the ROUNDED score (d_tfidf discipline) so float paths agree.
+    "g_adamic_adar" -> ((s, d) => {
+      val g = graph(s, d)
+      val und = g.symmetrized.where(F.col("src") =!= F.col("dst"))
+      val deg = und.groupBy(F.col("src").as("vid"))
+        .agg(F.count(F.lit(1)).as("deg"))
+      val anchors = g.vertices.where(F.col("vid") % AaStride === 0)
+        .select(F.col("vid").as("u"))
+      val hop1 = anchors
+        .join(und.select(F.col("src").as("u"), F.col("dst").as("w")), "u")
+        .join(deg.select(F.col("vid").as("w"), F.col("deg").as("dw")), "w")
+        .where(F.col("dw") > 1)
+      val cand = hop1
+        .join(und.select(F.col("src").as("w"), F.col("dst").as("v")), "w")
+        .where(F.col("v") =!= F.col("u"))
+        .join(und.select(F.col("src").as("u"), F.col("dst").as("v")),
+          Seq("u", "v"), "left_anti")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).as("cn"),
+          F.round(F.sum(F.lit(1.0) / F.log(F.col("dw"))), 6).as("score"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(F.col("score").desc, F.col("v"))
+      cand.withColumn("rk", F.row_number().over(win).cast("int"))
+        .where(F.col("rk") <= AaK)
+        .select("u", "rk", "v", "cn", "score")
+        .orderBy("u", "rk")
     })
   )
 
@@ -252,6 +329,9 @@ object GraphQueries {
     "g_hub_distq" -> OracleSql.gHubDistq(HubL, HubT, HubPairStride),
     "g_sssp" -> OracleSql.gSssp(SsspStride, SsspRounds),
     "g_ecc" -> OracleSql.gEcc(NhoodT),
-    "g_clustering" -> OracleSql.gClustering
+    "g_clustering" -> OracleSql.gClustering,
+    "g_degdist" -> OracleSql.gDegdist,
+    "g_assortativity" -> OracleSql.gAssortativity,
+    "g_adamic_adar" -> OracleSql.gAdamicAdar(AaStride, AaK)
   )
 }

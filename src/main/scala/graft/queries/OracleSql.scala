@@ -365,6 +365,75 @@ object OracleSql {
        |LEFT JOIN cnt ON cnt.vid = d.vid
        |ORDER BY d.vid""".stripMargin
 
+  /** Degree histogram over the undirected simple graph (deg 0 vertices
+    * included via dict left join — none exist in this fixture, but the
+    * contract covers them). */
+  val gDegdist: String =
+    s"""WITH $eventEdges,
+       |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+       |  WHERE src <> dst),
+       |dgv AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS deg
+       |        FROM sym GROUP BY src)
+       |SELECT coalesce(dgv.deg, 0) AS deg,
+       |       CAST(count(*) AS BIGINT) AS n_vertices
+       |FROM dict d LEFT JOIN dgv ON dgv.vid = d.vid
+       |GROUP BY 1 ORDER BY deg""".stripMargin
+
+  /** Degree assortativity: Pearson r of endpoint degrees over the
+    * symmetric simple edge list. Moments as exact integer sums, the float
+    * formula applied once — matches g_assortativity's arithmetic exactly
+    * (no order-dependent float aggregation on either side). */
+  val gAssortativity: String =
+    s"""WITH $eventEdges,
+       |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+       |  WHERE src <> dst),
+       |dgv AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS deg
+       |        FROM sym GROUP BY src),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(dx.deg) AS BIGINT) AS sx,
+       |         CAST(sum(dy.deg) AS BIGINT) AS sy,
+       |         CAST(sum(dx.deg * dy.deg) AS BIGINT) AS sxy,
+       |         CAST(sum(dx.deg * dx.deg) AS BIGINT) AS sxx,
+       |         CAST(sum(dy.deg * dy.deg) AS BIGINT) AS syy
+       |  FROM sym e JOIN dgv dx ON dx.vid = e.src JOIN dgv dy ON dy.vid = e.dst)
+       |SELECT n AS n_dir_edges,
+       |       round((n * sxy - sx * sy) /
+       |             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+       |              sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+       |FROM m""".stripMargin
+
+  /** Adamic-Adar link prediction from the vid-stride anchor set: 2-hop
+    * expansion, existing edges excluded, score = Σ 1/ln(deg(w)) over
+    * common neighbors with deg > 1, top-K per anchor ranked on the
+    * ROUNDED score (ties by v) — mirrors g_adamic_adar. */
+  def gAdamicAdar(stride: Int, k: Int): String =
+    s"""WITH $eventEdges,
+       |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+       |  WHERE src <> dst),
+       |dgv AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS deg
+       |        FROM sym GROUP BY src),
+       |aa AS (
+       |  SELECT e1.src AS u, e2.dst AS v,
+       |         CAST(count(*) AS BIGINT) AS cn,
+       |         round(sum(1.0 / ln(dw.deg)), 6) AS score
+       |  FROM sym e1
+       |  JOIN dgv dw ON dw.vid = e1.dst AND dw.deg > 1
+       |  JOIN sym e2 ON e2.src = e1.dst AND e2.dst <> e1.src
+       |  WHERE e1.src % $stride = 0
+       |    AND NOT EXISTS (SELECT 1 FROM sym s
+       |                    WHERE s.src = e1.src AND s.dst = e2.dst)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT u, v, cn, score,
+       |         CAST(row_number() OVER (PARTITION BY u ORDER BY score DESC, v) AS INT) AS rk
+       |  FROM aa)
+       |SELECT u, rk, v, cn, score FROM ranked
+       |WHERE rk <= $k ORDER BY u, rk""".stripMargin
+
   val gTriPerVertex: String =
     s"""WITH $triangleCtes,
        |cnt AS (SELECT w AS vid, CAST(count(*) AS BIGINT) AS triangles

@@ -1041,6 +1041,66 @@ object PipelineQueries {
        |       round(weight, 6) AS weight
        |FROM weighted ORDER BY lang""".stripMargin
 
+  /** Per-doc PII-shaped pattern counts — the redaction-signal pass every
+    * training pipeline runs before release: email-like tokens, URL-like
+    * tokens, long digit runs. Pure per-row regexp counting, zero shuffle.
+    * Patterns deliberately avoid backslash escapes (character classes
+    * only) so the Java-regex (Spark) and RE2 (DuckDB) dialects are
+    * literally the same string with the same semantics. */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PiiUrlRe = "https?://[A-Za-z0-9./_-]+"
+  val PiiDigitsRe = "[0-9]{7,}"
+
+  def dPiiCounts(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      F.col("doc_id"),
+      F.size(F.expr(s"regexp_extract_all(text, '$PiiEmailRe', 0)")).cast("long").as("n_emails"),
+      F.size(F.expr(s"regexp_extract_all(text, '$PiiUrlRe', 0)")).cast("long").as("n_urls"),
+      F.size(F.expr(s"regexp_extract_all(text, '$PiiDigitsRe', 0)")).cast("long").as("n_digit_runs"))
+      .withColumn("has_pii",
+        F.col("n_emails") + F.col("n_urls") + F.col("n_digit_runs") > 0)
+      .orderBy("doc_id")
+
+  val dPiiCountsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$PiiEmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$PiiUrlRe')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(text, '$PiiDigitsRe')) AS BIGINT) AS n_digit_runs,
+       |  (len(regexp_extract_all(text, '$PiiEmailRe'))
+       |   + len(regexp_extract_all(text, '$PiiUrlRe'))
+       |   + len(regexp_extract_all(text, '$PiiDigitsRe'))) > 0 AS has_pii
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-source corpus accounting (the common-crawl "domain table"):
+    * doc/char/token totals and means per source. One map-side-combinable
+    * agg keyed by source; means derive from EXACT integer sums, so the
+    * float paths cannot disagree. */
+  def dSourceStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(F.col("source"), F.col("lang"), F.col("n_chars"),
+        F.size(F.expr("filter(split(text, ' '), w -> w <> '')")).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum("n_chars").as("total_chars"),
+        F.sum("toks").as("total_tokens"),
+        F.countDistinct("lang").as("n_langs"))
+      .select(F.col("source"), F.col("n_docs"), F.col("total_chars"),
+        F.col("total_tokens"), F.col("n_langs"),
+        F.round(F.col("total_chars") / F.col("n_docs"), 6).as("mean_chars"),
+        F.round(F.col("total_tokens") / F.col("n_docs"), 6).as("mean_tokens"))
+      .orderBy("source")
+
+  val dSourceStatsSql: String =
+    """SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS total_tokens,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+      |  round(CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS DOUBLE) / count(*), 6) AS mean_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------ similarity
 
   def eCosineTopk(s: SparkSession, d: String): DataFrame = {
@@ -1173,6 +1233,8 @@ object PipelineQueries {
     "d_sample_stratified" -> (dSampleStratified _),
     "d_tfidf" -> (dTfidf _),
     "d_mix_weights" -> (dMixWeights _),
+    "d_pii_counts" -> (dPiiCounts _),
+    "d_source_stats" -> (dSourceStats _),
     "e_cosine_topk" -> (eCosineTopk _),
     // LSH-bucketed ANN, the scale path of e_cosine_topk; hyperplanes are
     // deterministic, so the bucket assignment + top-k has a full DuckDB
@@ -1235,6 +1297,8 @@ object PipelineQueries {
     "d_sample_stratified" -> dSampleStratifiedSql,
     "d_tfidf" -> dTfidfSql,
     "d_mix_weights" -> dMixWeightsSql,
+    "d_pii_counts" -> dPiiCountsSql,
+    "d_source_stats" -> dSourceStatsSql,
     "e_cosine_topk" -> eCosineTopkSql,
     "e_ann_lsh" -> graft.pipeline.Similarity.annLshSql(AnnQueries, AnnK, AnnDim,
       planes = oraclePlanes),

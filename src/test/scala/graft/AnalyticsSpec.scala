@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{functions => F}
+
+import graft.queries.{GraphQueries, PipelineQueries}
+
+/** Round-5 analytics operators: degree distribution, assortativity, and
+  * Adamic-Adar link prediction against in-driver brute-force oracles on
+  * the real sf0.001 graph; PII pattern counts against crafted documents
+  * and a Java-regex replay; per-source stats against a driver rollup. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Undirected simple adjacency of the events graph, collected. */
+  private lazy val und: Map[Long, Set[Long]] = {
+    val g = GraphQueries.graph(spark, dir)
+    val e = g.edges.where(F.col("src") =!= F.col("dst"))
+      .select("src", "dst").as[(Long, Long)].collect()
+    val sym = e.flatMap { case (s, d) => Seq((s, d), (d, s)) }.toSet
+    sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+  }
+
+  test("g_degdist == driver histogram, and totals cover every vertex") {
+    val nVerts = GraphQueries.graph(spark, dir).numVertices
+    val got = GraphQueries.queries("g_degdist")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    val want = (0L until nVerts).map(v => und.getOrElse(v, Set.empty).size.toLong)
+      .groupBy(identity).map { case (d, vs) => (d, vs.size.toLong) }
+      .toSeq.sortBy(_._1)
+    assert(got == want)
+    assert(got.map(_._2).sum == nVerts)
+  }
+
+  test("g_assortativity == driver Pearson over exact integer moments") {
+    val pairs = for {
+      (u, ns) <- und.toSeq; v <- ns.toSeq // toSeq: a Set would dedup equal degree pairs
+    } yield (und(u).size.toLong, und(v).size.toLong)
+    val n = pairs.size.toLong
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val want = BigDecimal((n * sxy - sx * sy).toDouble /
+      (math.sqrt((n * sxx - sx * sx).toDouble) * math.sqrt((n * syy - sy * sy).toDouble)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = GraphQueries.queries("g_assortativity")(spark, dir)
+      .as[(Long, Double)].collect().head
+    assert(row._1 == n)
+    assert(math.abs(row._2 - want) < 1e-9, s"got ${row._2} want $want")
+  }
+
+  test("g_adamic_adar == brute-force 2-hop scores with existing-edge exclusion") {
+    val got = GraphQueries.queries("g_adamic_adar")(spark, dir)
+      .as[(Long, Int, Long, Long, Double)].collect().toSeq
+    // brute force over the same anchor set
+    val anchors = und.keys.filter(_ % GraphQueries.AaStride == 0).toSeq.sorted
+    val want = anchors.flatMap { u =>
+      val scores = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+      for (w <- und(u) if und(w).size > 1; v <- und(w) if v != u && !und(u).contains(v)) {
+        val (c, s) = scores.getOrElse(v, (0L, 0.0))
+        scores(v) = (c + 1, s + 1.0 / math.log(und(w).size.toDouble))
+      }
+      scores.toSeq
+        .map { case (v, (c, s)) =>
+          (v, c, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (v, _, s) => (-s, v) }
+        .take(GraphQueries.AaK).zipWithIndex
+        .map { case ((v, c, s), i) => (u, i + 1, v, c, s) }
+    }
+    assert(got.size == want.size)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3 && g._4 == w._4,
+        s"row mismatch: got $g want $w")
+      assert(math.abs(g._5 - w._5) < 1e-9, s"score: got $g want $w")
+    }
+  }
+
+  test("d_pii_counts finds crafted emails/urls/digit runs; clean docs stay clean") {
+    val tmp = Files.createTempDirectory("graft-pii-").toString
+    Seq(
+      (0L, "contact alice.smith+x@example.org or bob@sub.domain.co today", "en", "web", 58L),
+      (1L, "see https://example.com/a/b_c-d and http://x.org/p for details", "en", "web", 62L),
+      (2L, "call 12345678 ref 999123456789 end", "en", "web", 34L),
+      (3L, "a perfectly clean document with short numbers 123 456", "en", "web", 53L),
+      (4L, "mixed a@b.io https://e.f/g 76543210", "en", "web", 35L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = PipelineQueries.dPiiCounts(spark, tmp)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 0L, 0L, true),
+      (1L, 0L, 2L, 0L, true),
+      (2L, 0L, 0L, 2L, true),
+      (3L, 0L, 0L, 0L, false),
+      (4L, 1L, 1L, 1L, true)))
+  }
+
+  test("d_pii_counts == Java-regex replay on the real corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val want = docs.map { case (id, t) =>
+      (id,
+        PipelineQueries.PiiEmailRe.r.findAllIn(t).size.toLong,
+        PipelineQueries.PiiUrlRe.r.findAllIn(t).size.toLong,
+        PipelineQueries.PiiDigitsRe.r.findAllIn(t).size.toLong)
+    }.sortBy(_._1).toSeq
+    val got = PipelineQueries.dPiiCounts(spark, dir)
+      .select("doc_id", "n_emails", "n_urls", "n_digit_runs")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("d_source_stats == driver rollup from exact sums") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "lang", "n_chars", "text")
+      .as[(String, String, Long, String)].collect()
+    val want = docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val chars = ds.map(_._3).sum
+      val toks = ds.map(d => d._4.split(" ").count(_.nonEmpty).toLong).sum
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (src, ds.length.toLong, chars, toks, ds.map(_._2).distinct.length.toLong,
+        r6(chars.toDouble / ds.length), r6(toks.toDouble / ds.length))
+    }
+    val got = PipelineQueries.dSourceStats(spark, dir)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == want)
+  }
+}
