@@ -289,6 +289,38 @@ object GraphQueries {
           6).as("assortativity"))
     }),
 
+    // Reciprocity: fraction of distinct directed simple edges whose
+    // reverse edge also exists — exact integer counts, one semi-join
+    // against the swapped edge set, final division applied once.
+    "g_reciprocity" -> ((s, d) => {
+      val de = graph(s, d).directed.where(F.col("src") =!= F.col("dst"))
+      val rec = de.join(
+        de.select(F.col("dst").as("src"), F.col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      de.agg(F.count(F.lit(1)).as("n_edges"))
+        .crossJoin(rec.agg(F.count(F.lit(1)).as("n_reciprocal")))
+        .select(F.col("n_edges"), F.col("n_reciprocal"),
+          F.round(F.col("n_reciprocal") / F.col("n_edges"), 6).as("reciprocity"))
+    }),
+
+    // Effective diameter at q ∈ {0.5, 0.9} from the SHARED exact N(t)
+    // counts (ANF's headline statistic): smallest t with N(t) ≥ q·N(T) —
+    // the same integer definition as Neighborhood.effectiveDiameter,
+    // computed distributed over the (T+1)-row counts frame (the
+    // inequality join is a nested loop over ≤ 2(T+1) rows).
+    "g_effdiam" -> ((s, d) => {
+      val c = nhood(s, d).counts
+      val tot = c.agg(F.max("pairs").as("total_pairs"))
+      val qs = s.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9))).as("q"))
+      qs.crossJoin(tot)
+        .join(c, F.col("pairs") >= F.col("q") * F.col("total_pairs"))
+        .groupBy("q", "total_pairs")
+        .agg(F.min("t").cast("int").as("eff_diameter"))
+        .select("q", "eff_diameter", "total_pairs")
+        .orderBy("q")
+    }),
+
     // Adamic-Adar link prediction from a deterministic vid-stride anchor
     // set: score(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) over candidate v
     // at 2 hops, existing edges excluded, top-K per anchor. Work is one
@@ -344,6 +376,8 @@ object GraphQueries {
     "g_clustering" -> OracleSql.gClustering,
     "g_degdist" -> OracleSql.gDegdist,
     "g_assortativity" -> OracleSql.gAssortativity,
-    "g_adamic_adar" -> OracleSql.gAdamicAdar(AaStride, AaK)
+    "g_adamic_adar" -> OracleSql.gAdamicAdar(AaStride, AaK),
+    "g_reciprocity" -> OracleSql.gReciprocity,
+    "g_effdiam" -> OracleSql.gEffdiam(NhoodT)
   )
 }

@@ -434,6 +434,36 @@ object OracleSql {
        |SELECT u, rk, v, cn, score FROM ranked
        |WHERE rk <= $k ORDER BY u, rk""".stripMargin
 
+  /** Reciprocity over distinct directed simple edges — integer counts,
+    * one EXISTS probe against the swapped set, division applied once. */
+  val gReciprocity: String =
+    s"""WITH $eventEdges,
+       |de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       |         CAST(count(*) FILTER (WHERE EXISTS (
+       |           SELECT 1 FROM de r WHERE r.src = de.dst AND r.dst = de.src))
+       |           AS BIGINT) AS n_reciprocal
+       |  FROM de)
+       |SELECT n_edges, n_reciprocal,
+       |       round(CAST(n_reciprocal AS DOUBLE) / n_edges, 6) AS reciprocity
+       |FROM m""".stripMargin
+
+  /** Effective diameter at q ∈ {0.5, 0.9}: smallest t with N(t) ≥ q·N(T)
+    * over the same depth-bounded closure as gNhood — matches g_effdiam's
+    * integer definition (Neighborhood.effectiveDiameter). */
+  def gEffdiam(maxT: Int): String =
+    s"""WITH RECURSIVE ${reachCtes(maxT)},
+       |counts AS (
+       |  SELECT CAST(ts.t AS INT) AS t, CAST(count(m.v) AS BIGINT) AS pairs
+       |  FROM range(0, ${maxT + 1}) ts(t) LEFT JOIN mind m ON m.dist <= ts.t
+       |  GROUP BY ts.t),
+       |tot AS (SELECT max(pairs) AS total_pairs FROM counts),
+       |qs(q) AS (VALUES (0.5), (0.9))
+       |SELECT q, CAST(min(t) AS INT) AS eff_diameter, total_pairs
+       |FROM qs CROSS JOIN tot JOIN counts ON pairs >= q * total_pairs
+       |GROUP BY q, total_pairs ORDER BY q""".stripMargin
+
   val gTriPerVertex: String =
     s"""WITH $triangleCtes,
        |cnt AS (SELECT w AS vid, CAST(count(*) AS BIGINT) AS triangles

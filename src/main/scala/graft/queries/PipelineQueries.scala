@@ -1071,6 +1071,38 @@ object PipelineQueries {
        |   + len(regexp_extract_all(text, '$PiiDigitsRe'))) > 0 AS has_pii
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PII redaction transform — the output side of [[dPiiCounts]]: emails,
+    * then URLs, then long digit runs replaced by typed tokens, applied in
+    * that fixed order (replacement tokens contain no pattern characters,
+    * so later passes cannot re-match earlier output; digit runs inside
+    * URLs are protected by the preceding URL pass). `n_redactions` counts
+    * matches of each pattern on the PRE-redaction text (the documented
+    * convention; matches dPiiCounts). Pure per-row, zero shuffle. */
+  def dRedact(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      F.col("doc_id"),
+      F.regexp_replace(
+        F.regexp_replace(
+          F.regexp_replace(F.col("text"), F.lit(PiiEmailRe), F.lit("<EMAIL>")),
+          F.lit(PiiUrlRe), F.lit("<URL>")),
+        F.lit(PiiDigitsRe), F.lit("<NUM>")).as("text_redacted"),
+      (F.size(F.expr(s"regexp_extract_all(text, '$PiiEmailRe', 0)"))
+        + F.size(F.expr(s"regexp_extract_all(text, '$PiiUrlRe', 0)"))
+        + F.size(F.expr(s"regexp_extract_all(text, '$PiiDigitsRe', 0)")))
+        .cast("long").as("n_redactions"))
+      .orderBy("doc_id")
+
+  val dRedactSql: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$PiiEmailRe', '<EMAIL>', 'g'),
+       |    '$PiiUrlRe', '<URL>', 'g'),
+       |    '$PiiDigitsRe', '<NUM>', 'g') AS text_redacted,
+       |  CAST(len(regexp_extract_all(text, '$PiiEmailRe'))
+       |   + len(regexp_extract_all(text, '$PiiUrlRe'))
+       |   + len(regexp_extract_all(text, '$PiiDigitsRe')) AS BIGINT) AS n_redactions
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Per-source corpus accounting (the common-crawl "domain table"):
     * doc/char/token totals and means per source. One map-side-combinable
     * agg keyed by source; means derive from EXACT integer sums, so the
@@ -1234,6 +1266,7 @@ object PipelineQueries {
     "d_tfidf" -> (dTfidf _),
     "d_mix_weights" -> (dMixWeights _),
     "d_pii_counts" -> (dPiiCounts _),
+    "d_redact" -> (dRedact _),
     "d_source_stats" -> (dSourceStats _),
     "e_cosine_topk" -> (eCosineTopk _),
     // LSH-bucketed ANN, the scale path of e_cosine_topk; hyperplanes are
@@ -1298,6 +1331,7 @@ object PipelineQueries {
     "d_tfidf" -> dTfidfSql,
     "d_mix_weights" -> dMixWeightsSql,
     "d_pii_counts" -> dPiiCountsSql,
+    "d_redact" -> dRedactSql,
     "d_source_stats" -> dSourceStatsSql,
     "e_cosine_topk" -> eCosineTopkSql,
     "e_ann_lsh" -> graft.pipeline.Similarity.annLshSql(AnnQueries, AnnK, AnnDim,

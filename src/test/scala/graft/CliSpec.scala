@@ -102,5 +102,27 @@ class CliSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("sssp CLI: distances match a direct ShortestPaths.run; durable resume continues") {
+    val out = tmp(); val ckpt = tmp()
+    Main.run(spark, Array("sssp", "--conv", Conv, "--origin-stride", "4",
+      "--max-rounds", "10", "--out", out, "--ckpt", ckpt))
+    val cli = spark.read.parquet(s"$out/sssp").orderBy("o", "v")
+      .as[(Long, Long, Int)].collect().toSeq
+    val origins = graph.vertices.where(F2.col("vid") % 4 === 0)
+    val api = graft.algo.ShortestPaths.run(graph, origins, 10)
+      .dists.orderBy("o", "v").as[(Long, Long, Int)].collect().toSeq
+    assert(cli == api && cli.nonEmpty)
+    assert(spark.read.parquet(s"$out/dict").count() == graph.dict.count())
+
+    // --resume against the committed state reproduces identical distances
+    // (monotone relaxation: re-relaxing settled rows is a no-op)
+    val out2 = tmp()
+    Main.run(spark, Array("sssp", "--conv", Conv, "--origin-stride", "4",
+      "--max-rounds", "10", "--out", out2, "--ckpt", ckpt, "--resume"))
+    val resumed = spark.read.parquet(s"$out2/sssp").orderBy("o", "v")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(resumed == api)
+  }
+
   private val F2 = org.apache.spark.sql.functions
 }
