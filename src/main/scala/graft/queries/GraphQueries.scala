@@ -27,6 +27,8 @@ object GraphQueries {
   val SsspRounds = 8
   val AaStride = 3
   val AaK = 5
+  val BcStride = 4
+  val BcT = 4
 
   /** Packed hub-split CSR + CsrExpand codegen is the DEFAULT layout for the
     * driver's iterative graph queries (round-3 verdict "Next round #5" —
@@ -289,6 +291,16 @@ object GraphQueries {
           6).as("assortativity"))
     }),
 
+    // Hop-bounded sampled-source Brandes betweenness: deterministic
+    // vid-stride source set, horizon BcT — both standard web-scale
+    // approximations, both deterministic, so the unrolled DuckDB oracle
+    // reproduces the estimator exactly.
+    "g_betweenness" -> ((s, d) => {
+      val g = graph(s, d)
+      val sources = g.vertices.where(F.col("vid") % BcStride === 0)
+      Betweenness.run(g, sources, BcT)
+    }),
+
     // Reciprocity: fraction of distinct directed simple edges whose
     // reverse edge also exists — exact integer counts, one semi-join
     // against the swapped edge set, final division applied once.
@@ -378,6 +390,7 @@ object GraphQueries {
     "g_assortativity" -> OracleSql.gAssortativity,
     "g_adamic_adar" -> OracleSql.gAdamicAdar(AaStride, AaK),
     "g_reciprocity" -> OracleSql.gReciprocity,
-    "g_effdiam" -> OracleSql.gEffdiam(NhoodT)
+    "g_effdiam" -> OracleSql.gEffdiam(NhoodT),
+    "g_betweenness" -> OracleSql.gBetweenness(BcStride, BcT)
   )
 }

@@ -464,6 +464,52 @@ object OracleSql {
        |FROM qs CROSS JOIN tot JOIN counts ON pairs >= q * total_pairs
        |GROUP BY q, total_pairs ORDER BY q""".stripMargin
 
+  /** Hop-bounded sampled-source Brandes betweenness, unrolled level by
+    * level — matches Betweenness.run exactly: forward σ (path counts,
+    * integers carried as doubles — exact under any summation order),
+    * backward δ deepest-first with the horizon level pinned at δ = 0,
+    * bc(v) = Σ over levels ≥ 1 (level 0 is the s=v diagonal — endpoints
+    * carry no betweenness mass). */
+  def gBetweenness(stride: Int, maxT: Int): String = {
+    def sigCte(t: Int): String =
+      s"""sig$t AS MATERIALIZED (
+         |  SELECT m.s, m.v, sum(p.sigma) AS sigma
+         |  FROM sig${t - 1} p JOIN de e ON e.src = p.v
+         |  JOIN mind m ON m.s = p.s AND m.v = e.dst AND m.dist = $t
+         |  GROUP BY m.s, m.v)""".stripMargin
+    def delCte(t: Int): String =
+      if (t == maxT)
+        s"d$t AS (SELECT s, v, sigma, CAST(0 AS DOUBLE) AS delta FROM sig$t)"
+      else
+        s"""d$t AS MATERIALIZED (
+           |  SELECT l.s, l.v, l.sigma, coalesce(c.delta, CAST(0 AS DOUBLE)) AS delta
+           |  FROM sig$t l LEFT JOIN (
+           |    SELECT l2.s, l2.v, sum(l2.sigma / w.sigma * (w.delta + 1.0)) AS delta
+           |    FROM sig$t l2 JOIN de e ON e.src = l2.v
+           |    JOIN d${t + 1} w ON w.s = l2.s AND w.v = e.dst
+           |    GROUP BY l2.s, l2.v) c ON c.s = l.s AND c.v = l.v)""".stripMargin
+    val unions = (1 to maxT).map(t => s"SELECT v, delta FROM d$t").mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $eventEdges,
+       |de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+       |reach AS (
+       |  SELECT vid AS s, vid AS v, 0 AS dist FROM dict WHERE vid % $stride = 0
+       |  UNION
+       |  SELECT r.s, e.dst, r.dist + 1 FROM reach r JOIN de e ON e.src = r.v
+       |  WHERE r.dist < $maxT
+       |),
+       |mind AS MATERIALIZED (SELECT s, v, min(dist) AS dist FROM reach GROUP BY s, v),
+       |sig0 AS (SELECT s, v, CAST(1 AS DOUBLE) AS sigma FROM mind WHERE dist = 0),
+       |${(1 to maxT).map(sigCte).mkString(",\n")},
+       |${(maxT to 0 by -1).map(delCte).mkString(",\n")},
+       |bc AS (
+       |  SELECT v, sum(delta) AS bc FROM (
+       |  $unions)
+       |  GROUP BY v)
+       |SELECT d.vid, round(coalesce(bc.bc, 0.0), 6) AS bc
+       |FROM dict d LEFT JOIN bc ON bc.v = d.vid
+       |ORDER BY d.vid""".stripMargin
+  }
+
   val gTriPerVertex: String =
     s"""WITH $triangleCtes,
        |cnt AS (SELECT w AS vid, CAST(count(*) AS BIGINT) AS triangles
