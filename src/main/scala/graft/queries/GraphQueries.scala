@@ -301,6 +301,47 @@ object GraphQueries {
       Betweenness.run(g, sources, BcT)
     }),
 
+    // Truncated out-closeness: C(o) = (reached−1)/Σ dist within the BFS
+    // horizon (0 when nothing beyond o itself is reached) — one agg over
+    // the SHARED exact reach frame; integer sums, division applied once.
+    "g_closeness" -> ((s, d) =>
+      nhood(s, d).reach.get.groupBy(F.col("o").as("vid"))
+        .agg(F.count(F.lit(1)).as("reached"), F.sum("d").as("sumd"))
+        .select(F.col("vid"), F.col("reached"),
+          F.round(F.when(F.col("sumd") > 0,
+            (F.col("reached") - 1) / F.col("sumd")).otherwise(F.lit(0.0)), 6)
+            .as("closeness"))
+        .orderBy("vid")),
+
+    // Jaccard neighbor similarity from the same deterministic anchor set
+    // as Adamic-Adar: J(u,v) = |N(u)∩N(v)| / (deg(u)+deg(v)−|N∩|) — all
+    // integer counts, ONE division at the end, so the Spark and DuckDB
+    // paths are bit-identical by construction (no float sums at all).
+    "g_jaccard" -> ((s, d) => {
+      val g = graph(s, d)
+      val (und, deg) = undirected(s, d)
+      val anchors = g.vertices.where(F.col("vid") % AaStride === 0)
+        .select(F.col("vid").as("u"))
+      val cand = anchors
+        .join(und.select(F.col("src").as("u"), F.col("dst").as("w")), "u")
+        .join(und.select(F.col("src").as("w"), F.col("dst").as("v")), "w")
+        .where(F.col("v") =!= F.col("u"))
+        .join(und.select(F.col("src").as("u"), F.col("dst").as("v")),
+          Seq("u", "v"), "left_anti")
+        .groupBy("u", "v").agg(F.count(F.lit(1)).as("cn"))
+        .join(deg.select(F.col("vid").as("u"), F.col("deg").as("du")), "u")
+        .join(deg.select(F.col("vid").as("v"), F.col("deg").as("dv")), "v")
+        .select(F.col("u"), F.col("v"), F.col("cn"),
+          F.round(F.col("cn") / (F.col("du") + F.col("dv") - F.col("cn")), 6)
+            .as("jaccard"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(F.col("jaccard").desc, F.col("v"))
+      cand.withColumn("rk", F.row_number().over(win).cast("int"))
+        .where(F.col("rk") <= AaK)
+        .select("u", "rk", "v", "cn", "jaccard")
+        .orderBy("u", "rk")
+    }),
+
     // Reciprocity: fraction of distinct directed simple edges whose
     // reverse edge also exists — exact integer counts, one semi-join
     // against the swapped edge set, final division applied once.
@@ -391,6 +432,8 @@ object GraphQueries {
     "g_adamic_adar" -> OracleSql.gAdamicAdar(AaStride, AaK),
     "g_reciprocity" -> OracleSql.gReciprocity,
     "g_effdiam" -> OracleSql.gEffdiam(NhoodT),
-    "g_betweenness" -> OracleSql.gBetweenness(BcStride, BcT)
+    "g_betweenness" -> OracleSql.gBetweenness(BcStride, BcT),
+    "g_closeness" -> OracleSql.gCloseness(NhoodT),
+    "g_jaccard" -> OracleSql.gJaccard(AaStride, AaK)
   )
 }

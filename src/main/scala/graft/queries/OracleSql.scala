@@ -510,6 +510,44 @@ object OracleSql {
        |ORDER BY d.vid""".stripMargin
   }
 
+  /** Truncated out-closeness from the same depth-bounded closure as
+    * gNhood — integer sums, one division, matches g_closeness. */
+  def gCloseness(maxT: Int): String =
+    s"""WITH RECURSIVE ${reachCtes(maxT)}
+       |SELECT o AS vid, CAST(count(*) AS BIGINT) AS reached,
+       |       round(CASE WHEN sum(dist) > 0
+       |             THEN (count(*) - 1) / CAST(sum(dist) AS DOUBLE)
+       |             ELSE 0.0 END, 6) AS closeness
+       |FROM mind GROUP BY o ORDER BY vid""".stripMargin
+
+  /** Jaccard neighbor similarity from the vid-stride anchor set — all
+    * integer counts, one division; mirrors g_jaccard exactly. */
+  def gJaccard(stride: Int, k: Int): String =
+    s"""WITH $eventEdges,
+       |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+       |  WHERE src <> dst),
+       |dgv AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS deg
+       |        FROM sym GROUP BY src),
+       |cn AS (
+       |  SELECT e1.src AS u, e2.dst AS v, CAST(count(*) AS BIGINT) AS cn
+       |  FROM sym e1
+       |  JOIN sym e2 ON e2.src = e1.dst AND e2.dst <> e1.src
+       |  WHERE e1.src % $stride = 0
+       |    AND NOT EXISTS (SELECT 1 FROM sym s
+       |                    WHERE s.src = e1.src AND s.dst = e2.dst)
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT cn.u, cn.v, cn.cn,
+       |         round(cn.cn / CAST(du.deg + dv.deg - cn.cn AS DOUBLE), 6) AS jaccard
+       |  FROM cn JOIN dgv du ON du.vid = cn.u JOIN dgv dv ON dv.vid = cn.v),
+       |ranked AS (
+       |  SELECT u, v, cn, jaccard,
+       |         CAST(row_number() OVER (PARTITION BY u ORDER BY jaccard DESC, v) AS INT) AS rk
+       |  FROM scored)
+       |SELECT u, rk, v, cn, jaccard FROM ranked
+       |WHERE rk <= $k ORDER BY u, rk""".stripMargin
+
   val gTriPerVertex: String =
     s"""WITH $triangleCtes,
        |cnt AS (SELECT w AS vid, CAST(count(*) AS BIGINT) AS triangles

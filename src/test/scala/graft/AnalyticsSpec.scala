@@ -172,6 +172,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(real == want)
   }
 
+  test("g_jaccard == brute-force neighbor-set similarity with top-K ranking") {
+    val got = GraphQueries.queries("g_jaccard")(spark, dir)
+      .as[(Long, Int, Long, Long, Double)].collect().toSeq
+    val anchors = und.keys.filter(_ % GraphQueries.AaStride == 0).toSeq.sorted
+    val want = anchors.flatMap { u =>
+      val nu = und(u)
+      val cands = nu.flatMap(w => und(w)).filter(v => v != u && !nu.contains(v))
+      cands.toSeq.map { v =>
+        val cn = (nu & und(v)).size.toLong
+        val j = BigDecimal(cn.toDouble / (nu.size + und(v).size - cn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (v, cn, j)
+      }.sortBy { case (v, _, j) => (-j, v) }
+        .take(GraphQueries.AaK).zipWithIndex
+        .map { case ((v, c, j), i) => (u, i + 1, v, c, j) }
+    }
+    assert(got == want)
+  }
+
+  test("g_closeness == driver derivation from BFS distances") {
+    val reach = GraphQueries.nhood(spark, dir).reach.get
+      .as[(Long, Long, Int)].collect()
+    val want = reach.groupBy(_._1).toSeq.sortBy(_._1).map { case (o, rs) =>
+      val sumd = rs.map(_._3.toLong).sum
+      val c = if (sumd > 0)
+        BigDecimal((rs.size - 1).toDouble / sumd)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      (o, rs.size.toLong, c)
+    }
+    val got = GraphQueries.queries("g_closeness")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
   test("d_source_stats == driver rollup from exact sums") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("source", "lang", "n_chars", "text")
