@@ -29,6 +29,8 @@ object GraphQueries {
   val AaK = 5
   val BcStride = 4
   val BcT = 4
+  val KatzAlpha = 0.1
+  val KatzRounds = 6
 
   /** Packed hub-split CSR + CsrExpand codegen is the DEFAULT layout for the
     * driver's iterative graph queries (round-3 verdict "Next round #5" —
@@ -301,6 +303,11 @@ object GraphQueries {
       Betweenness.run(g, sources, BcT)
     }),
 
+    // Truncated Katz centrality: Σ_{k≤R} α^k · (paths of length k into
+    // v) — R-round recurrence c = α·Aᵀ(1+c), one shuffle per round.
+    "g_katz" -> ((s, d) =>
+      Katz.run(graph(s, d), KatzAlpha, KatzRounds)),
+
     // Truncated out-closeness: C(o) = (reached−1)/Σ dist within the BFS
     // horizon (0 when nothing beyond o itself is reached) — one agg over
     // the SHARED exact reach frame; integer sums, division applied once.
@@ -434,6 +441,7 @@ object GraphQueries {
     "g_effdiam" -> OracleSql.gEffdiam(NhoodT),
     "g_betweenness" -> OracleSql.gBetweenness(BcStride, BcT),
     "g_closeness" -> OracleSql.gCloseness(NhoodT),
-    "g_jaccard" -> OracleSql.gJaccard(AaStride, AaK)
+    "g_jaccard" -> OracleSql.gJaccard(AaStride, AaK),
+    "g_katz" -> OracleSql.gKatz(KatzAlpha, KatzRounds)
   )
 }

@@ -548,6 +548,24 @@ object OracleSql {
        |SELECT u, rk, v, cn, jaccard FROM ranked
        |WHERE rk <= $k ORDER BY u, rk""".stripMargin
 
+  /** Truncated Katz, unrolled R rounds of c = α·Aᵀ(1+c) over the
+    * distinct directed simple edge set — matches Katz.run exactly
+    * (coalesced zeros every round, doubles throughout). */
+  def gKatz(alpha: Double, rounds: Int): String = {
+    def roundCte(t: Int): String =
+      s"""k$t AS MATERIALIZED (
+         |  SELECT d.vid, coalesce(a.c, CAST(0 AS DOUBLE)) AS c
+         |  FROM dict d LEFT JOIN (
+         |    SELECT e.dst AS vid, $alpha * sum(p.c + 1.0) AS c
+         |    FROM de e JOIN k${t - 1} p ON p.vid = e.src
+         |    GROUP BY e.dst) a ON a.vid = d.vid)""".stripMargin
+    s"""WITH $eventEdges,
+       |de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+       |k0 AS (SELECT vid, CAST(0 AS DOUBLE) AS c FROM dict),
+       |${(1 to rounds).map(roundCte).mkString(",\n")}
+       |SELECT vid, round(c, 6) AS katz FROM k$rounds ORDER BY vid""".stripMargin
+  }
+
   val gTriPerVertex: String =
     s"""WITH $triangleCtes,
        |cnt AS (SELECT w AS vid, CAST(count(*) AS BIGINT) AS triangles

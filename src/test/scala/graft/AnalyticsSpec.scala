@@ -207,6 +207,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("g_katz == driver matrix recurrence; chain golden") {
+    // chain 0→1→2: katz(1) = α, katz(2) = α + α², katz(0) = 0 — via the
+    // driver recurrence on the real graph AND a closed-form hand check
+    val alpha = GraphQueries.KatzAlpha; val rounds = GraphQueries.KatzRounds
+    val g = GraphQueries.graph(spark, dir)
+    val de = g.directed.where(F.col("src") =!= F.col("dst"))
+      .as[(Long, Long)].collect()
+    val n = g.numVertices.toInt
+    var c = Array.fill(n)(0.0)
+    (1 to rounds).foreach { _ =>
+      val nc = Array.fill(n)(0.0)
+      de.foreach { case (s, d) => nc(d.toInt) += c(s.toInt) + 1.0 }
+      c = nc.map(_ * alpha)
+    }
+    val want = c.zipWithIndex.map { case (v, i) =>
+      (i.toLong, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+    val got = GraphQueries.queries("g_katz")(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    got.zip(want).foreach { case (gt, w) =>
+      assert(gt._1 == w._1 && math.abs(gt._2 - w._2) < 1e-9, s"got $gt want $w")
+    }
+
+    val chain = graft.graph.LinkGraph(
+      Seq((0L, 1L, 1, 1.0), (1L, 2L, 1, 1.0)).toDF("src", "dst", "kind", "weight"),
+      Seq(("a", 0L), ("b", 1L), ("c", 2L)).toDF("key", "vid"))
+    val hand = graft.algo.Katz.run(chain, 0.5, 4)
+      .as[(Long, Double)].collect().toMap
+    assert(hand == Map(0L -> 0.0, 1L -> 0.5, 2L -> 0.75)) // α, α+α²
+  }
+
   test("d_source_stats == driver rollup from exact sums") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("source", "lang", "n_chars", "text")
