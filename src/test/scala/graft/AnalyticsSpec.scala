@@ -15,14 +15,16 @@ class AnalyticsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** Undirected simple adjacency of the events graph, collected. */
-  private lazy val und: Map[Long, Set[Long]] = {
-    val g = GraphQueries.graph(spark, dir)
+  private def undOf(d: String): Map[Long, Set[Long]] = {
+    val g = GraphQueries.graph(spark, d)
     val e = g.edges.where(F.col("src") =!= F.col("dst"))
       .select("src", "dst").as[(Long, Long)].collect()
-    val sym = e.flatMap { case (s, d) => Seq((s, d), (d, s)) }.toSet
+    val sym = e.flatMap { case (s, dd) => Seq((s, dd), (dd, s)) }.toSet
     sym.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
   }
+
+  /** Undirected simple adjacency of the events graph, collected. */
+  private lazy val und: Map[Long, Set[Long]] = undOf(dir)
 
   test("g_degdist == driver histogram, and totals cover every vertex") {
     val nVerts = GraphQueries.graph(spark, dir).numVertices
@@ -189,6 +191,32 @@ class AnalyticsSpec extends SparkSpec {
         .map { case ((v, c, j), i) => (u, i + 1, v, c, j) }
     }
     assert(got == want)
+  }
+
+  test("g_adamic_adar brute-force parity at the larger sf0.01 graph (155 vertices)") {
+    val d01 = "/root/testdata/sf0.01"
+    val u01 = undOf(d01)
+    val got = GraphQueries.queries("g_adamic_adar")(spark, d01)
+      .as[(Long, Int, Long, Long, Double)].collect().toSeq
+    val anchors = u01.keys.filter(_ % GraphQueries.AaStride == 0).toSeq.sorted
+    val want = anchors.flatMap { u =>
+      val scores = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+      for (w <- u01(u) if u01(w).size > 1; v <- u01(w) if v != u && !u01(u).contains(v)) {
+        val (c, s) = scores.getOrElse(v, (0L, 0.0))
+        scores(v) = (c + 1, s + 1.0 / math.log(u01(w).size.toDouble))
+      }
+      scores.toSeq
+        .map { case (v, (c, s)) =>
+          (v, c, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (v, _, s) => (-s, v) }
+        .take(GraphQueries.AaK).zipWithIndex
+        .map { case ((v, c, s), i) => (u, i + 1, v, c, s) }
+    }
+    assert(got.size == want.size && got.size > 100)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3 && g._4 == w._4, s"got $g want $w")
+      assert(math.abs(g._5 - w._5) < 1e-9, s"score: got $g want $w")
+    }
   }
 
   test("g_closeness == driver derivation from BFS distances") {

@@ -100,6 +100,15 @@ class BetweennessSpec extends SparkSpec {
     }
   }
 
+  test("Brandes oracle parity at property scale (n=200, 800 edges)") {
+    val rng = new scala.util.Random(41)
+    val n = 200
+    val edges = (0 until 800).map { _ =>
+      (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+    }
+    check(n, edges, stride = 10, maxT = 6)
+  }
+
   test("Brandes oracle parity with full horizon (exact betweenness from the sample)") {
     val rng = new scala.util.Random(11)
     val n = 24
