@@ -18,7 +18,7 @@ import graft.io.ParquetManifestIO
   * Sources (one of): --input <transcripts parquet>, --events <events parquet>,
   * or --conv N [--seed 42] (deterministic synthetic transcripts).
   * Commands: pagerank | ppr | cc | lpa | triangles | kcore | scc | sssp |
-  * nhood | hubs | dedup | ann.
+  * nhood | hubs | betweenness | katz | dedup | ann.
   * Without --resume, a fresh run clears the checkpoint root first;
   * with --resume, the loop continues from the last committed iteration.
   */
@@ -41,7 +41,7 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <pagerank|ppr|cc|lpa|triangles|kcore|scc|sssp|nhood|hubs|dedup|ann> ...
+    """usage: graft.Main <pagerank|ppr|cc|lpa|triangles|kcore|scc|sssp|nhood|hubs|betweenness|katz|dedup|ann> ...
       |graph commands: [--input P|--events P|--conv N]
       |  [--seed 42] [--out DIR] [--ckpt DIR] [--resume] [--tol 1e-6]
       |  [--damping 0.85] [--max-iters 100] [--rounds 10] [--local N]
@@ -51,8 +51,12 @@ object Main {
       |  [--k 3] [--max-rounds 8]  (kcore)
       |  [--max-phases 20]  (scc)
       |  [--origins P|--origin-prefix user:|--origin-stride 5] [--max-rounds 20]  (sssp)
-      |  [--mode exact|hyperball] [--max-t 8] [--lgk 12]  (nhood)
+      |  [--mode exact|hyperball] [--max-t 8] [--lgk 12] [--reverse]  (nhood;
+      |               hyperball also writes per-vertex HyperANF centrality
+      |               estimates — harmonic/closeness/ecc; --reverse = out-balls)
       |  [--landmarks 16] [--max-t 6]  (hubs)
+      |  [--sources P|--source-prefix user:|--source-stride 4] [--max-t 4]  (betweenness)
+      |  [--alpha 0.1] [--rounds 6]  (katz)
       |  [--packed]  (pagerank|cc|lpa: hub-split CSR layout + CsrExpand operator)
       |  [--warm P]  (pagerank / cc hashmin: seed from a prior run's --out dir —
       |               ranks/labels are remapped onto the current graph's ids via
@@ -336,6 +340,40 @@ object Main {
         val r = Triangles.run(graph, materializer(spark, opts, "triangles"))
         write(r.perVertex.orderBy("vid"), "triangles")
         println(s"""{"cmd":"triangles","total":${r.total},"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "betweenness" =>
+        // Sampled-source hop-bounded Brandes; durable per (phase, level)
+        // round — forward σ levels, then δ levels deepest-first. Source
+        // spec + horizon enter the run fingerprint (the ppr lesson).
+        val sources = opts.get("sources") match {
+          case Some(p) => spark.read.parquet(p).select("vid")
+          case None => opts.get("source-prefix") match {
+            case Some(prefix) =>
+              graph.dict.where(F.col("key").startsWith(prefix)).select("vid")
+            case None =>
+              val stride = opts.getOrElse("source-stride", "4").toInt
+              graph.vertices.where(F.col("vid") % stride === 0)
+          }
+        }
+        val srcToken = opts.get("sources").map("sources=" + _)
+          .orElse(opts.get("source-prefix").map("source-prefix=" + _))
+          .getOrElse(s"source-stride=${opts.getOrElse("source-stride", "4")}")
+        val maxT = opts.getOrElse("max-t", "4").toInt
+        val bc = Betweenness.run(graph, sources, maxT,
+          materializer(spark, opts, "betweenness", bucketCol = "s",
+            extraTokens = Seq(srcToken, s"maxT=$maxT")))
+        write(bc.orderBy("vid"), "betweenness")
+        writeDict()
+        println(s"""{"cmd":"betweenness","max_t":$maxT,"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "katz" =>
+        // Truncated Katz recurrence, one durable (vid, c) commit per round.
+        val alpha = opts.getOrElse("alpha", "0.1").toDouble
+        val rounds = opts.getOrElse("rounds", "6").toInt
+        val kz = Katz.run(graph, alpha, rounds,
+          materializer(spark, opts, "katz",
+            extraTokens = Seq(s"alpha=$alpha", s"rounds=$rounds")))
+        write(kz.orderBy("vid"), "katz")
+        writeDict()
+        println(s"""{"cmd":"katz","alpha":$alpha,"rounds":$rounds,"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "nhood" =>
         // Neighborhood function N(t), t = 0..--max-t. --mode exact (BFS
         // pairs; also writes harmonic centrality) or hyperball (HLL
@@ -352,11 +390,19 @@ object Main {
             write(r.counts, "nhood")
             write(Neighborhood.harmonic(graph, r.reach.get), "harmonic")
           case "hyperball" =>
+            // --reverse grows out-balls (origin-side closeness/ecc); the
+            // default in-balls match g_harmonic's direction. The per-vertex
+            // HyperANF centralities (harmonic/closeness/ecc estimates) ride
+            // the same sketch state — written as `centrality`.
             val lgK = opts.getOrElse("lgk", "12").toInt
+            val rev = opts.contains("reverse")
             val r = Neighborhood.hyperball(graph, maxT, lgK,
               materializer(spark, opts, "hyperball", bucketCol = "vid",
-                extraTokens = Seq(s"maxT=$maxT", s"lgK=$lgK", "mode=hyperball")))
+                extraTokens = Seq(s"maxT=$maxT", s"lgK=$lgK", s"reverse=$rev",
+                  "mode=hyperball")),
+              reverse = rev)
             write(r.counts, "nhood")
+            write(r.perVertex.get.orderBy("vid"), "centrality")
           case m => sys.error(s"unknown nhood mode $m\n$usage")
         }
         writeDict()

@@ -38,4 +38,18 @@ private[algo] final class FlatLoop(spark: org.apache.spark.sql.SparkSession) {
       gens += s -> l.take(1)
     }
   }
+
+  /** End-of-run reclamation (round-5 ADVICE): free EVERY tracked
+    * generation except the latest of the named `keep` slots. Call only
+    * after the kept frames are materialized — everything else (level
+    * frames, settled sets, edge invariants) is dead weight once the
+    * result is flat. */
+  def releaseAll(keep: String*): Unit = {
+    val keepIds = keep.flatMap(s => gens.getOrElse(s, Nil).take(1)).toSet
+    gens.valuesIterator.flatten.filterNot(keepIds).foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+    gens = gens.collect {
+      case (s, l) if keep.contains(s) => s -> l.take(1)
+    }
+  }
 }

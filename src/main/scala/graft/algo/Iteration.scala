@@ -15,7 +15,10 @@ import graft.io.TableIO
   * by `src` pays exactly ONE exchange per iteration — the message groupBy.
   * Previous iterations' blocks are freed as the loop advances.
   */
-sealed trait Materializer {
+// Deliberately NOT sealed (round 6): custom backends — an Iceberg-commit
+// materializer in a real deployment, the fault-injecting wrapper the
+// kill+resume specs use — extend it outside this file.
+trait Materializer {
   /** Partition count the loop should run at, when this backend has an
     * opinion (a bucketed durable checkpoint must keep the loop at its
     * bucket count so the resumed scan's HashPartitioning matches). None ⇒

@@ -38,7 +38,10 @@ object Neighborhood {
   final case class NhoodResult(
       counts: DataFrame, // (t: int, pairs: long) — exact; est double for HB
       reach: Option[DataFrame], // exact only: (o, v, d)
-      rounds: Int)
+      rounds: Int,
+      // hyperball only: per-vertex sketch-derived centralities —
+      // (vid, reached_est, harmonic_est, sumdist_est, closeness_est, ecc_est)
+      perVertex: Option[DataFrame] = None)
 
   /** Exact truncated neighborhood function. Returns counts (t, pairs) for
     * t = 0..maxT AND the reach frame (o, v, d) with d = dist(o→v) — the
@@ -133,9 +136,31 @@ object Neighborhood {
 
   /** HyperBall: per-vertex HLL sketch of the in-t-ball, grown by one
     * sketch-union message round per t. Returns (t, est_pairs: double) —
-    * the HLL estimate of N(t). Durable state per round: (vid, sk). */
+    * the HLL estimate of N(t) — AND the per-vertex sketch-derived
+    * centralities (the HyperANF trick, Boldi-Rosa-Vigna WWW 2011 §4:
+    * per vertex, est(ball_t) − est(ball_{t−1}) estimates |{u : dist = t}|,
+    * so Σ_t δ_t/t is harmonic centrality, Σ_t δ_t·t the distance sum
+    * behind closeness, and the last round with δ_t > 0 the truncated
+    * eccentricity). The accumulators ride INSIDE the one union-agg
+    * shuffle per round (max over the single pre-existing state row), so
+    * the sketch-path centralities cost zero extra exchanges — this is
+    * the 100-TB surface for harmonic/closeness/ecc, whose exact
+    * counterparts need the O(n²)-state all-origins BFS (round-5 verdict
+    * "What's missing #1").
+    *
+    * `reverse = false` grows in-balls ({o : dist(o→v) ≤ t} — messages
+    * flow src→dst), matching g_harmonic's in-direction; `reverse = true`
+    * grows out-balls, matching g_closeness/g_ecc's origin-side grouping.
+    *
+    * Saturation: a round whose global (rounded) estimate is flat can
+    * still hide raw register growth, so early exit requires TWO
+    * consecutive flat rounds (round-5 ADVICE — one plateau round must
+    * not freeze N(t) while sketches are still growing).
+    *
+    * Durable state per round: (vid, sk, est, hacc, sacc, ecc_t). */
   def hyperball(graph: LinkGraph, maxT: Int, lgK: Int = 12,
-                mat: Materializer = new LocalMaterializer): NhoodResult =
+                mat: Materializer = new LocalMaterializer,
+                reverse: Boolean = false): NhoodResult =
     IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
       IterativeConf.adaptivePartitions(graph.spark,
         math.max(graph.numVertices, graph.numEdges))))) {
@@ -144,27 +169,33 @@ object Neighborhood {
       val fl = new FlatLoop(spark)
       // messages flow src→dst: dst's ball absorbs src's ball (dist(o→dst)
       // ≤ dist(o→src) + 1), so partition the shared edges by the probe key
-      val edges = mat.shared("de",
-        graph.directed.where(F.col("src") =!= F.col("dst"))
-          .repartition(F.col("src")), repartitionKeys = Seq("src"),
-        fingerprint = Some(s"lgK=$lgK"))
+      val de0 = graph.directed.where(F.col("src") =!= F.col("dst"))
+      val de = if (reverse)
+        de0.select(F.col("dst").as("src"), F.col("src").as("dst")) else de0
+      val edges = mat.shared("de", de.repartition(F.col("src")),
+        repartitionKeys = Seq("src"),
+        fingerprint = Some(s"lgK=$lgK;reverse=$reverse"))
 
+      val stateCols = Seq("vid", "sk", "est", "hacc", "sacc", "ecc_t")
       // hll_sketch_estimate returns a rounded LONG; keep the double contract
-      def estimateOf(state: DataFrame): Double =
-        state.agg(F.sum(F.hll_sketch_estimate(F.col("sk")).cast("double")))
-          .first().getDouble(0)
+      def globalEst(state: DataFrame): Double =
+        state.agg(F.sum(F.col("est"))).first().getDouble(0)
 
       val (start, st0, est0) = mat.resume() match {
         case Some((t, df)) =>
-          val s = fl.ckpt("state", df.select("vid", "sk"))
-          (t, s, estimateOf(s))
+          val s = fl.ckpt("state", df.select(stateCols.map(F.col): _*))
+          (t, s, globalEst(s))
         case None =>
           // ball(v, 0) = {v}: one single-element sketch per vertex
           val init = graph.vertices.groupBy("vid")
             .agg(F.hll_sketch_agg(F.col("vid"), F.lit(lgK)).as("sk"))
+            .select(F.col("vid"), F.col("sk"),
+              F.hll_sketch_estimate(F.col("sk")).cast("double").as("est"),
+              F.lit(0.0).as("hacc"), F.lit(0.0).as("sacc"),
+              F.lit(0).as("ecc_t"))
           val s = fl.ckpt("state",
             mat.iter(0, init.repartition(F.col("vid")), Map("init" -> true)))
-          val e0 = estimateOf(s)
+          val e0 = globalEst(s)
           mat.note(0, Map("est_pairs" -> e0))
           (0, s, e0)
       }
@@ -173,21 +204,39 @@ object Neighborhood {
       val ests = scala.collection.mutable.Map.empty[Int, Double]
       ests(t) = est0
       var last = est0
-      var growing = true
-      while (t < maxT && growing) {
+      var flatRounds = 0
+      while (t < maxT && flatRounds < 2) {
         t += 1
-        val msgs = edges.join(state.withColumnRenamed("vid", "src"), "src")
+        val msgs = edges.join(
+            state.select(F.col("vid").as("src"), F.col("sk")), "src")
           .select(F.col("dst").as("vid"), F.col("sk"))
-        val next = state.unionByName(msgs)
-          .groupBy("vid").agg(F.hll_union_agg(F.col("sk")).as("sk")) // THE shuffle
+        // one shuffle: sketch union + accumulator carry (each vid has
+        // exactly ONE pre-existing state row, so max() recovers its
+        // accumulators; message rows contribute nulls)
+        val unioned = state.unionByName(
+          msgs.withColumn("est", F.lit(null).cast("double"))
+            .withColumn("hacc", F.lit(null).cast("double"))
+            .withColumn("sacc", F.lit(null).cast("double"))
+            .withColumn("ecc_t", F.lit(null).cast("int")))
+        val agg = unioned.groupBy("vid").agg(
+          F.hll_union_agg(F.col("sk")).as("sk"),
+          F.max("est").as("prev_est"), F.max("hacc").as("hacc0"),
+          F.max("sacc").as("sacc0"), F.max("ecc_t").as("ecc0"))
+        val cur = F.hll_sketch_estimate(F.col("sk")).cast("double")
+        val delta = F.greatest(cur - F.col("prev_est"), F.lit(0.0))
+        val next = agg.select(F.col("vid"), F.col("sk"),
+          cur.as("est"),
+          (F.col("hacc0") + delta / t).as("hacc"),
+          (F.col("sacc0") + delta * t).as("sacc"),
+          F.when(delta > 0, F.lit(t)).otherwise(F.col("ecc0")).as("ecc_t"))
         val committed = mat.iter(t, next, Map.empty)
         state = fl.ckpt("state", committed)
-        val est = estimateOf(state)
+        val est = globalEst(state)
         mat.note(t, Map("est_pairs" -> est))
-        // sketches are monotone: an unchanged global estimate for a round
-        // means every ball's sketch is saturated — the remaining t values
-        // stay flat, exactly like the exact variant's dried frontier
-        growing = est > last
+        // sketches are monotone, but the ROUNDED global estimate can
+        // plateau for a round while registers still grow — require two
+        // consecutive flat rounds before declaring saturation
+        flatRounds = if (est > last) 0 else flatRounds + 1
         ests(t) = est; last = est
         fl.sweep("state")
       }
@@ -199,7 +248,16 @@ object Neighborhood {
           yield (i.toString.toInt, e.toString.toDouble)).toMap
       val known = noted ++ ests
       val rows = (0 to maxT).map(i => (i, known.getOrElse(i, last))).toSeq
-      val out = NhoodResult(rows.toDF("t", "est_pairs").orderBy("t"), None, t)
+      val perVertex = state.select(F.col("vid"),
+        F.col("est").as("reached_est"),
+        F.round(F.col("hacc"), 6).as("harmonic_est"),
+        F.col("sacc").as("sumdist_est"),
+        F.round(F.when(F.col("sacc") > 0,
+          (F.col("est") - 1.0) / F.col("sacc")).otherwise(F.lit(0.0)), 6)
+          .as("closeness_est"),
+        F.col("ecc_t").as("ecc_est"))
+      val out = NhoodResult(rows.toDF("t", "est_pairs").orderBy("t"), None, t,
+        Some(perVertex))
       mat.close()
       out
     }

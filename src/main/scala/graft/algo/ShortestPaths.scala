@@ -103,6 +103,8 @@ object ShortestPaths {
         }
         fl.sweep("state", "frontier")
       }
+      // the final frontier generation is dead once the loop exits
+      fl.releaseAll("state")
       mat.close()
       SsspResult(state, t, converged = !active)
     }

@@ -302,18 +302,25 @@ object OracleSql {
        |SELECT v AS vid, hub, d, 'from_hub' AS dir FROM fmin
        |ORDER BY vid, hub, dir""".stripMargin
 
-  /** Label-join distance bound over the deterministic vid-stride pair
-    * sample: dist_ub = min over shared hubs of d(u→hub) + d(hub→v) —
-    * matches HubLabels.distances (pairs with no shared hub emit no row). */
-  def gHubDistq(l: Int, maxT: Int, stride: Int): String =
+  /** Label-join distance bound over the linear deterministic pair sample
+    * (u ↔ u + j·stride, j = −offsets..offsets, offset vid must exist):
+    * dist_ub = min over shared hubs of d(u→hub) + d(hub→v) — matches
+    * HubLabels.distances (pairs with no shared hub emit no row). */
+  def gHubDistq(l: Int, maxT: Int, stride: Int, offsets: Int): String =
     s"""WITH RECURSIVE ${hubCtes(l, maxT)},
-       |s AS (SELECT vid FROM dict WHERE vid % $stride = 0)
-       |SELECT a.vid AS u, b.vid AS v, CAST(min(lo.d + li.d) AS INT) AS dist_ub
-       |FROM s a CROSS JOIN s b
-       |JOIN bmin lo ON lo.v = a.vid
-       |JOIN fmin li ON li.v = b.vid AND li.hub = lo.hub
-       |GROUP BY a.vid, b.vid
-       |ORDER BY u, v""".stripMargin
+       |s AS (SELECT vid FROM dict WHERE vid % $stride = 0),
+       |pairs AS (
+       |  SELECT a.vid AS u, a.vid + j.j * $stride AS v
+       |  FROM s a CROSS JOIN (
+       |    SELECT unnest(range(${-offsets}, ${offsets + 1})) AS j) j
+       |  WHERE EXISTS (SELECT 1 FROM dict d2
+       |                WHERE d2.vid = a.vid + j.j * $stride))
+       |SELECT p.u, p.v, CAST(min(lo.d + li.d) AS INT) AS dist_ub
+       |FROM pairs p
+       |JOIN bmin lo ON lo.v = p.u
+       |JOIN fmin li ON li.v = p.v AND li.hub = lo.hub
+       |GROUP BY p.u, p.v
+       |ORDER BY p.u, p.v""".stripMargin
 
   /** Hop-bounded weighted shortest-path closure from the vid-stride origin
     * set: dist(o→v) = min cost over paths of ≤ maxRounds edges, edge cost
@@ -400,22 +407,29 @@ object OracleSql {
        |         CAST(sum(dy.deg * dy.deg) AS BIGINT) AS syy
        |  FROM sym e JOIN dgv dx ON dx.vid = e.src JOIN dgv dy ON dy.vid = e.dst)
        |SELECT n AS n_dir_edges,
-       |       round((n * sxy - sx * sy) /
-       |             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-       |              sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+       |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |             (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |              sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       |         AS assortativity
        |FROM m""".stripMargin
 
-  /** Adamic-Adar link prediction from the vid-stride anchor set: 2-hop
-    * expansion, existing edges excluded, score = Σ 1/ln(deg(w)) over
-    * common neighbors with deg > 1, top-K per anchor ranked on the
-    * ROUNDED score (ties by v) — mirrors g_adamic_adar. */
-  def gAdamicAdar(stride: Int, k: Int): String =
+  /** Adamic-Adar link prediction from the fixed-count anchor set (first
+    * `cnt` vids among the stride multiples): 2-hop expansion, existing
+    * edges excluded, score = Σ 1/ln(deg(w)) over common neighbors with
+    * deg > 1, top-K per anchor ranked on the ROUNDED score (ties by v)
+    * — mirrors g_adamic_adar. */
+  def gAdamicAdar(stride: Int, cnt: Int, k: Int): String =
     s"""WITH $eventEdges,
        |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
        |  WHERE src <> dst),
        |dgv AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS deg
        |        FROM sym GROUP BY src),
+       |anchors AS (SELECT vid FROM dict WHERE vid % $stride = 0
+       |            ORDER BY vid LIMIT $cnt),
        |aa AS (
        |  SELECT e1.src AS u, e2.dst AS v,
        |         CAST(count(*) AS BIGINT) AS cn,
@@ -423,7 +437,7 @@ object OracleSql {
        |  FROM sym e1
        |  JOIN dgv dw ON dw.vid = e1.dst AND dw.deg > 1
        |  JOIN sym e2 ON e2.src = e1.dst AND e2.dst <> e1.src
-       |  WHERE e1.src % $stride = 0
+       |  WHERE e1.src IN (SELECT vid FROM anchors)
        |    AND NOT EXISTS (SELECT 1 FROM sym s
        |                    WHERE s.src = e1.src AND s.dst = e2.dst)
        |  GROUP BY 1, 2),
@@ -520,20 +534,23 @@ object OracleSql {
        |             ELSE 0.0 END, 6) AS closeness
        |FROM mind GROUP BY o ORDER BY vid""".stripMargin
 
-  /** Jaccard neighbor similarity from the vid-stride anchor set — all
-    * integer counts, one division; mirrors g_jaccard exactly. */
-  def gJaccard(stride: Int, k: Int): String =
+  /** Jaccard neighbor similarity from the same fixed-count anchor set as
+    * gAdamicAdar — all integer counts, one division; mirrors g_jaccard
+    * exactly. */
+  def gJaccard(stride: Int, cnt: Int, k: Int): String =
     s"""WITH $eventEdges,
        |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
        |  WHERE src <> dst),
        |dgv AS (SELECT src AS vid, CAST(count(*) AS BIGINT) AS deg
        |        FROM sym GROUP BY src),
+       |anchors AS (SELECT vid FROM dict WHERE vid % $stride = 0
+       |            ORDER BY vid LIMIT $cnt),
        |cn AS (
        |  SELECT e1.src AS u, e2.dst AS v, CAST(count(*) AS BIGINT) AS cn
        |  FROM sym e1
        |  JOIN sym e2 ON e2.src = e1.dst AND e2.dst <> e1.src
-       |  WHERE e1.src % $stride = 0
+       |  WHERE e1.src IN (SELECT vid FROM anchors)
        |    AND NOT EXISTS (SELECT 1 FROM sym s
        |                    WHERE s.src = e1.src AND s.dst = e2.dst)
        |  GROUP BY 1, 2),

@@ -1071,20 +1071,23 @@ object PipelineQueries {
        |   + len(regexp_extract_all(text, '$PiiDigitsRe'))) > 0 AS has_pii
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** PII redaction transform — the output side of [[dPiiCounts]]: emails,
-    * then URLs, then long digit runs replaced by typed tokens, applied in
-    * that fixed order (replacement tokens contain no pattern characters,
-    * so later passes cannot re-match earlier output; digit runs inside
-    * URLs are protected by the preceding URL pass). `n_redactions` counts
-    * matches of each pattern on the PRE-redaction text (the documented
-    * convention; matches dPiiCounts). Pure per-row, zero shuffle. */
+  /** PII redaction transform — the output side of [[dPiiCounts]]: URLs,
+    * then emails, then long digit runs replaced by typed tokens, applied
+    * in that fixed order (replacement tokens contain no pattern
+    * characters, so later passes cannot re-match earlier output; URLs go
+    * FIRST — round-5 ADVICE: an email-shaped substring inside a URL like
+    * 'https://user@host.com/x' would otherwise break the URL match —
+    * and digit runs inside URLs are protected by the preceding URL
+    * pass). `n_redactions` counts matches of each pattern on the
+    * PRE-redaction text (the documented convention; matches dPiiCounts).
+    * Pure per-row, zero shuffle. */
   def dRedact(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(
       F.col("doc_id"),
       F.regexp_replace(
         F.regexp_replace(
-          F.regexp_replace(F.col("text"), F.lit(PiiEmailRe), F.lit("<EMAIL>")),
-          F.lit(PiiUrlRe), F.lit("<URL>")),
+          F.regexp_replace(F.col("text"), F.lit(PiiUrlRe), F.lit("<URL>")),
+          F.lit(PiiEmailRe), F.lit("<EMAIL>")),
         F.lit(PiiDigitsRe), F.lit("<NUM>")).as("text_redacted"),
       (F.size(F.expr(s"regexp_extract_all(text, '$PiiEmailRe', 0)"))
         + F.size(F.expr(s"regexp_extract_all(text, '$PiiUrlRe', 0)"))
@@ -1095,8 +1098,8 @@ object PipelineQueries {
   val dRedactSql: String =
     s"""SELECT doc_id,
        |  regexp_replace(regexp_replace(regexp_replace(text,
-       |    '$PiiEmailRe', '<EMAIL>', 'g'),
        |    '$PiiUrlRe', '<URL>', 'g'),
+       |    '$PiiEmailRe', '<EMAIL>', 'g'),
        |    '$PiiDigitsRe', '<NUM>', 'g') AS text_redacted,
        |  CAST(len(regexp_extract_all(text, '$PiiEmailRe'))
        |   + len(regexp_extract_all(text, '$PiiUrlRe'))

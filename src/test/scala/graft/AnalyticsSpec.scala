@@ -26,6 +26,15 @@ class AnalyticsSpec extends SparkSpec {
   /** Undirected simple adjacency of the events graph, collected. */
   private lazy val und: Map[Long, Set[Long]] = undOf(dir)
 
+  /** Mirror of GraphQueries.aaAnchors (round 6): the first AaCount vids
+    * among the stride multiples OF THE VERTEX SET (not just vertices with
+    * undirected edges — an isolated anchor consumes a slot and emits no
+    * rows, and the brute force must agree on which anchors made the cut). */
+  private def anchorsOf(d: String): Seq[Long] =
+    GraphQueries.graph(spark, d).vertices.select("vid").as[Long]
+      .collect().sorted.filter(_ % GraphQueries.AaStride == 0)
+      .take(GraphQueries.AaCount).toSeq
+
   test("g_degdist == driver histogram, and totals cover every vertex") {
     val nVerts = GraphQueries.graph(spark, dir).numVertices
     val got = GraphQueries.queries("g_degdist")(spark, dir)
@@ -58,8 +67,8 @@ class AnalyticsSpec extends SparkSpec {
   test("g_adamic_adar == brute-force 2-hop scores with existing-edge exclusion") {
     val got = GraphQueries.queries("g_adamic_adar")(spark, dir)
       .as[(Long, Int, Long, Long, Double)].collect().toSeq
-    // brute force over the same anchor set
-    val anchors = und.keys.filter(_ % GraphQueries.AaStride == 0).toSeq.sorted
+    // brute force over the same fixed-count anchor set
+    val anchors = anchorsOf(dir).filter(und.contains)
     val want = anchors.flatMap { u =>
       val scores = scala.collection.mutable.Map.empty[Long, (Long, Double)]
       for (w <- und(u) if und(w).size > 1; v <- und(w) if v != u && !und(u).contains(v)) {
@@ -177,7 +186,7 @@ class AnalyticsSpec extends SparkSpec {
   test("g_jaccard == brute-force neighbor-set similarity with top-K ranking") {
     val got = GraphQueries.queries("g_jaccard")(spark, dir)
       .as[(Long, Int, Long, Long, Double)].collect().toSeq
-    val anchors = und.keys.filter(_ % GraphQueries.AaStride == 0).toSeq.sorted
+    val anchors = anchorsOf(dir).filter(und.contains)
     val want = anchors.flatMap { u =>
       val nu = und(u)
       val cands = nu.flatMap(w => und(w)).filter(v => v != u && !nu.contains(v))
@@ -198,7 +207,8 @@ class AnalyticsSpec extends SparkSpec {
     val u01 = undOf(d01)
     val got = GraphQueries.queries("g_adamic_adar")(spark, d01)
       .as[(Long, Int, Long, Long, Double)].collect().toSeq
-    val anchors = u01.keys.filter(_ % GraphQueries.AaStride == 0).toSeq.sorted
+    // the fixed-count cap BITES here (~52 stride anchors at sf0.01 > AaCount)
+    val anchors = anchorsOf(d01).filter(u01.contains)
     val want = anchors.flatMap { u =>
       val scores = scala.collection.mutable.Map.empty[Long, (Long, Double)]
       for (w <- u01(u) if u01(w).size > 1; v <- u01(w) if v != u && !u01(u).contains(v)) {

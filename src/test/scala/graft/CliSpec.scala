@@ -124,5 +124,48 @@ class CliSpec extends SparkSpec {
     assert(resumed == api)
   }
 
+  test("betweenness CLI: bc matches a direct run; durable resume identical") {
+    val out = tmp(); val ckpt = tmp()
+    Main.run(spark, Array("betweenness", "--conv", Conv, "--source-stride", "4",
+      "--max-t", "3", "--out", out, "--ckpt", ckpt))
+    val cli = spark.read.parquet(s"$out/betweenness").orderBy("vid")
+      .as[(Long, Double)].collect().toSeq
+    val sources = graph.vertices.where(F2.col("vid") % 4 === 0)
+    val api = graft.algo.Betweenness.run(graph, sources, 3)
+      .orderBy("vid").as[(Long, Double)].collect().toSeq
+    assert(cli == api && cli.nonEmpty)
+    assert(spark.read.parquet(s"$out/dict").count() == graph.dict.count())
+
+    // --resume over the fully-committed run reconstructs the same bc
+    val out2 = tmp()
+    Main.run(spark, Array("betweenness", "--conv", Conv, "--source-stride", "4",
+      "--max-t", "3", "--out", out2, "--ckpt", ckpt, "--resume"))
+    val resumed = spark.read.parquet(s"$out2/betweenness").orderBy("vid")
+      .as[(Long, Double)].collect().toSeq
+    assert(resumed == api)
+  }
+
+  test("katz CLI: scores match a direct run; dict snapshot written") {
+    val out = tmp()
+    Main.run(spark, Array("katz", "--conv", Conv, "--alpha", "0.1",
+      "--rounds", "5", "--out", out, "--ckpt", tmp()))
+    val cli = spark.read.parquet(s"$out/katz").orderBy("vid")
+      .as[(Long, Double)].collect().toSeq
+    val api = graft.algo.Katz.run(graph, 0.1, 5)
+      .orderBy("vid").as[(Long, Double)].collect().toSeq
+    assert(cli == api && cli.nonEmpty)
+    assert(spark.read.parquet(s"$out/dict").count() == graph.dict.count())
+  }
+
+  test("nhood CLI (hyperball): per-vertex HyperANF centrality frame written") {
+    val out = tmp()
+    Main.run(spark, Array("nhood", "--conv", Conv, "--mode", "hyperball",
+      "--max-t", "3", "--lgk", "12", "--out", out))
+    val cent = spark.read.parquet(s"$out/centrality")
+    assert(cent.count() == graph.dict.count())
+    assert(cent.columns.sorted.toSeq == Seq("closeness_est", "ecc_est",
+      "harmonic_est", "reached_est", "sumdist_est", "vid"))
+  }
+
   private val F2 = org.apache.spark.sql.functions
 }

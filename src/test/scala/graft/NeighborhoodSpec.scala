@@ -107,6 +107,71 @@ class NeighborhoodSpec extends SparkSpec {
     // HLL register unions are order-independent → estimates are deterministic
     assert(resumed.counts.as[(Int, Double)].collect().sortBy(_._1).toSeq ==
            clean.counts.as[(Int, Double)].collect().sortBy(_._1).toSeq)
+    // the per-vertex centrality accumulators ride the durable commits:
+    // resume reproduces the uninterrupted HyperANF frame bit-identically
+    def pv(r: Neighborhood.NhoodResult) = r.perVertex.get
+      .select("vid", "reached_est", "harmonic_est", "sumdist_est",
+        "closeness_est", "ecc_est")
+      .as[(Long, Double, Double, Double, Double, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(pv(resumed) == pv(clean))
+  }
+
+  test("HyperANF per-vertex centralities are EXACT at coupon scale") {
+    // balls ≤ 60 keep the lgK=12 sketch in coupon (list/set) mode, where
+    // Datasketches estimates are exact — so the ball-delta derivation must
+    // reproduce the BFS-oracle centralities to rounding (6 dp contract)
+    val g = graphOf(n, edges)
+    val in = Neighborhood.hyperball(g, maxT, lgK = 12)
+    val hEst = in.perVertex.get.select("vid", "harmonic_est")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    hEst.zip(oracleHarmonic).foreach { case ((gv, gh), (ov, oh)) =>
+      assert(gv == ov && math.abs(gh - oh) <= 2e-6, s"v=$gv: $gh vs $oh")
+    }
+    // out-direction (reverse=true): closeness/ecc group by origin like
+    // g_closeness/g_ecc
+    val out = Neighborhood.hyperball(g, maxT, lgK = 12, reverse = true)
+    val rows = out.perVertex.get
+      .select("vid", "reached_est", "closeness_est", "ecc_est")
+      .as[(Long, Double, Double, Int)].collect().sortBy(_._1)
+    assert(rows.length == n)
+    rows.foreach { case (v, r, c, e) =>
+      val ds = dist(v.toInt).filter(_ >= 0)
+      val reached = ds.length
+      val sumd = ds.map(_.toLong).sum
+      val cEx = if (sumd > 0)
+        math.rint((reached - 1).toDouble / sumd * 1e6) / 1e6 else 0.0
+      assert(r == reached.toDouble, s"v=$v reached: $r vs $reached")
+      assert(math.abs(c - cEx) <= 1e-6, s"v=$v closeness: $c vs $cEx")
+      assert(e == ds.max, s"v=$v ecc: $e vs ${ds.max}")
+    }
+  }
+
+  test("HyperANF centralities track exact within HLL error at sketch scale") {
+    // dense enough that t=3 balls exceed the lgK=8 coupon threshold → real
+    // HLL estimation error. Deterministic (fixed seed + fixed HLL hash),
+    // so the bands below are pinned, not flaky: 5σ-style per-vertex band
+    // + a tight aggregate band (the N(t)-sum discipline).
+    val bn = 1200
+    val brng = new scala.util.Random(907)
+    val bedges = (0 until bn).flatMap { s =>
+      (0 until 6).map(_ => (s.toLong, brng.nextInt(bn).toLong))
+    }.filter { case (s, d) => s != d }.distinct
+    val bmaxT = 3
+    val bd = oracle.Oracles.bfsAll(bn, bedges, bmaxT)
+    val hb = Neighborhood.hyperball(graphOf(bn, bedges), bmaxT, lgK = 8)
+    val est = hb.perVertex.get.select("vid", "harmonic_est")
+      .as[(Long, Double)].collect().sortBy(_._1).map(_._2)
+    val exact = (0 until bn).map { v =>
+      (0 until bn).iterator.map(o => bd(o)(v)).filter(_ > 0).map(1.0 / _).sum
+    }
+    val sumEst = est.sum
+    val sumEx = exact.sum
+    assert(math.abs(sumEst - sumEx) <= 0.10 * sumEx,
+      s"aggregate harmonic: $sumEst vs $sumEx")
+    est.zip(exact).zipWithIndex.foreach { case ((e, x), v) =>
+      assert(math.abs(e - x) <= 0.35 * x + 2.0, s"v=$v: est $e vs exact $x")
+    }
   }
 
   test("effective diameter: smallest t with N(t) ≥ q·N(maxT)") {
