@@ -18,7 +18,7 @@ import graft.io.ParquetManifestIO
   * Sources (one of): --input <transcripts parquet>, --events <events parquet>,
   * or --conv N [--seed 42] (deterministic synthetic transcripts).
   * Commands: pagerank | ppr | cc | lpa | triangles | kcore | scc | sssp |
-  * nhood | hubs | betweenness | katz | dedup | ann.
+  * nhood | hubs | betweenness | katz | hits | mis | dedup | ann.
   * Without --resume, a fresh run clears the checkpoint root first;
   * with --resume, the loop continues from the last committed iteration.
   */
@@ -41,7 +41,7 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <pagerank|ppr|cc|lpa|triangles|kcore|scc|sssp|nhood|hubs|betweenness|katz|dedup|ann> ...
+    """usage: graft.Main <pagerank|ppr|cc|lpa|triangles|kcore|scc|sssp|nhood|hubs|betweenness|katz|hits|mis|dedup|ann> ...
       |graph commands: [--input P|--events P|--conv N]
       |  [--seed 42] [--out DIR] [--ckpt DIR] [--resume] [--tol 1e-6]
       |  [--damping 0.85] [--max-iters 100] [--rounds 10] [--local N]
@@ -57,6 +57,8 @@ object Main {
       |  [--landmarks 16] [--max-t 6]  (hubs)
       |  [--sources P|--source-prefix user:|--source-stride 4] [--max-t 4]  (betweenness)
       |  [--alpha 0.1] [--rounds 6]  (katz)
+      |  [--rounds 3]  (hits)
+      |  [--max-rounds 8]  (mis)
       |  [--packed]  (pagerank|cc|lpa: hub-split CSR layout + CsrExpand operator)
       |  [--warm P]  (pagerank / cc hashmin: seed from a prior run's --out dir —
       |               ranks/labels are remapped onto the current graph's ids via
@@ -374,6 +376,26 @@ object Main {
         write(kz.orderBy("vid"), "katz")
         writeDict()
         println(s"""{"cmd":"katz","alpha":$alpha,"rounds":$rounds,"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "hits" =>
+        // Truncated HITS, one durable (vid, a, h) commit per round.
+        val rounds = opts.getOrElse("rounds", "3").toInt
+        val hs = Hits.run(graph, rounds,
+          materializer(spark, opts, "hits", extraTokens = Seq(s"rounds=$rounds")))
+        write(hs.orderBy("vid"), "hits")
+        writeDict()
+        println(s"""{"cmd":"hits","rounds":$rounds,"vertices":${graph.numVertices},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "mis" =>
+        // Deterministic local-min MIS over the symmetric simple closure,
+        // round-capped, one durable (vid, st) commit per round.
+        val rounds = opts.getOrElse("max-rounds", "8").toInt
+        val und = graph.symmetrized.where(F.col("src") =!= F.col("dst"))
+        val ms = Mis.run(graph.vertices, und, rounds,
+          materializer(spark, opts, "mis", extraTokens = Seq(s"rounds=$rounds")),
+          sizeHint = math.max(graph.numVertices, graph.numEdges))
+        write(ms.orderBy("vid"), "mis")
+        writeDict()
+        val undecided = ms.where(F.col("st") === 0).count()
+        println(s"""{"cmd":"mis","rounds":$rounds,"vertices":${graph.numVertices},"undecided":$undecided,"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "nhood" =>
         // Neighborhood function N(t), t = 0..--max-t. --mode exact (BFS
         // pairs; also writes harmonic centrality) or hyperball (HLL

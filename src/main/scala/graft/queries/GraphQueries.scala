@@ -33,6 +33,8 @@ object GraphQueries {
   val BcT = 4
   val KatzAlpha = 0.1
   val KatzRounds = 6
+  val HitsRounds = 3
+  val MisRounds = 8
 
   /** Packed hub-split CSR + CsrExpand codegen is the DEFAULT layout for the
     * driver's iterative graph queries (round-3 verdict "Next round #5" —
@@ -156,6 +158,25 @@ object GraphQueries {
   graft.Caches.register(() => katzCache.clear())
   graft.Caches.register(() => ssspCache.clear())
 
+  // One CC run per (session, dir): g_cc and g_compsizes share the label
+  // frame (round 6 — the size histogram is a two-agg derivation, not a
+  // second HashMin fixpoint).
+  private val ccCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val hitsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val misCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  graft.Caches.register(() => ccCache.clear())
+  graft.Caches.register(() => hitsCache.clear())
+  graft.Caches.register(() => misCache.clear())
+
+  def ccLabels(s: SparkSession, d: String): DataFrame =
+    ccCache.getOrElseUpdate((s, d),
+      org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(
+        ConnectedComponents.run(graph(s, d), packedAdjacency = packed(s))
+          .labels.orderBy("vid")))
+
   /** Fixed-COUNT deterministic anchor set for the link-prediction queries:
     * the first AaCount vids among the stride multiples. Bounded at any
     * graph size (round-5 verdict "What's wrong #3": stride-only anchors
@@ -222,9 +243,32 @@ object GraphQueries {
       r.labels.orderBy("vid")
     }),
 
-    "g_cc" -> ((s, d) =>
-      ConnectedComponents.run(graph(s, d), packedAdjacency = packed(s))
-        .labels.orderBy("vid")),
+    "g_cc" -> ((s, d) => ccLabels(s, d)),
+
+    // Component size histogram (size → how many components): two tiny
+    // hash aggs over the SHARED g_cc label frame — the standard first
+    // question asked of any CC run, derived for free from the memo.
+    "g_compsizes" -> ((s, d) =>
+      ccLabels(s, d).groupBy("label").agg(F.count(F.lit(1)).as("sz"))
+        .groupBy(F.col("sz").as("size"))
+        .agg(F.count(F.lit(1)).as("n_components"))
+        .orderBy("size")),
+
+    // Truncated HITS: integer alternating-walk counts (exact under any
+    // summation order) normalized ONCE at the end — Hits scaladoc.
+    "g_hits" -> ((s, d) => hitsCache.getOrElseUpdate((s, d),
+      org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(
+        Hits.run(graph(s, d), HitsRounds)))),
+
+    // Deterministic local-min MIS over the shared undirected frame,
+    // round-capped (Mis scaladoc — vid-priority Luby skeleton).
+    "g_mis" -> ((s, d) => misCache.getOrElseUpdate((s, d), {
+      val g = graph(s, d)
+      val (und, _) = undirected(s, d)
+      org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(
+        Mis.run(g.vertices, und, MisRounds,
+          sizeHint = math.max(g.numVertices, g.numEdges)))
+    })),
 
     "g_lpa" -> ((s, d) =>
       LabelPropagation.run(graph(s, d), maxRounds = LpaRounds,
@@ -486,6 +530,9 @@ object GraphQueries {
     "g_kcore" -> OracleSql.gKcore(KCoreK, KCoreRounds),
     "g_scc" -> OracleSql.gScc,
     "g_cc" -> OracleSql.gCc,
+    "g_compsizes" -> OracleSql.gCompsizes,
+    "g_hits" -> OracleSql.gHits(HitsRounds),
+    "g_mis" -> OracleSql.gMis(MisRounds),
     "g_lpa" -> OracleSql.gLpa(LpaRounds),
     "g_triangles" -> OracleSql.gTriangles,
     "g_tri_pervertex" -> OracleSql.gTriPerVertex,

@@ -189,6 +189,82 @@ object OracleSql {
        |)
        |SELECT vid, min(r) AS label FROM reach GROUP BY vid ORDER BY vid""".stripMargin
 
+  /** Component size histogram from the same closure as gCc: label sizes,
+    * then how many components share each size. */
+  val gCompsizes: String =
+    s"""WITH RECURSIVE $eventEdges,
+       |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |reach AS (
+       |  SELECT vid, vid AS r FROM dict
+       |  UNION
+       |  SELECT reach.vid, sym.dst AS r FROM reach JOIN sym ON sym.src = reach.r
+       |),
+       |labels AS (SELECT vid, min(r) AS label FROM reach GROUP BY vid),
+       |comp AS (SELECT label, CAST(count(*) AS BIGINT) AS size
+       |         FROM labels GROUP BY label)
+       |SELECT size, CAST(count(*) AS BIGINT) AS n_components
+       |FROM comp GROUP BY size ORDER BY size""".stripMargin
+
+  /** Unrolled truncated HITS: sequential update (authorities from previous
+    * hubs, hubs from the NEW authorities), a_0 = h_0 = 1, single final
+    * L1 normalization — mirrors Hits.run (all intermediates are integer
+    * walk counts, so the float paths agree exactly). */
+  def gHits(rounds: Int): String = {
+    def roundCte(k: Int): String =
+      s"""a$k AS MATERIALIZED (
+         |  SELECT d.vid, coalesce(m.s, CAST(0 AS DOUBLE)) AS a
+         |  FROM dict d LEFT JOIN (
+         |    SELECT de.dst AS vid, sum(p.h) AS s
+         |    FROM de JOIN s${k - 1} p ON p.vid = de.src GROUP BY de.dst) m
+         |  ON m.vid = d.vid),
+         |h$k AS MATERIALIZED (
+         |  SELECT d.vid, coalesce(m.s, CAST(0 AS DOUBLE)) AS h
+         |  FROM dict d LEFT JOIN (
+         |    SELECT de.src AS vid, sum(p.a) AS s
+         |    FROM de JOIN a$k p ON p.vid = de.dst GROUP BY de.src) m
+         |  ON m.vid = d.vid),
+         |s$k AS MATERIALIZED (
+         |  SELECT a$k.vid, a$k.a, h$k.h FROM a$k JOIN h$k ON h$k.vid = a$k.vid)""".stripMargin
+    s"""WITH $eventEdges,
+       |de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+       |s0 AS (SELECT vid, CAST(1 AS DOUBLE) AS a, CAST(1 AS DOUBLE) AS h FROM dict),
+       |${(1 to rounds).map(roundCte).mkString(",\n")},
+       |sums AS (SELECT sum(a) AS sa, sum(h) AS sh FROM s$rounds)
+       |SELECT vid,
+       |  round(a / (CASE WHEN sa > 0 THEN sa ELSE CAST(1 AS DOUBLE) END), 6) AS auth,
+       |  round(h / (CASE WHEN sh > 0 THEN sh ELSE CAST(1 AS DOUBLE) END), 6) AS hub
+       |FROM s$rounds, sums ORDER BY vid""".stripMargin
+  }
+
+  /** Unrolled deterministic local-min MIS: per round, every undecided
+    * vertex smaller than all undecided neighbors joins (st 1), its
+    * undecided neighbors leave (st 2); rounds beyond fixpoint are no-ops
+    * — mirrors Mis.run round for round. */
+  def gMis(rounds: Int): String = {
+    def roundCte(k: Int): String =
+      s"""c$k AS MATERIALIZED (
+         |  SELECT u.vid FROM s${k - 1} u WHERE u.st = 0 AND NOT EXISTS (
+         |    SELECT 1 FROM sym e JOIN s${k - 1} n ON n.vid = e.dst
+         |    WHERE e.src = u.vid AND n.st = 0 AND n.vid < u.vid)),
+         |o$k AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS vid FROM sym e
+         |  JOIN c$k c ON e.src = c.vid
+         |  JOIN s${k - 1} n ON n.vid = e.dst WHERE n.st = 0),
+         |s$k AS MATERIALIZED (
+         |  SELECT v.vid, CASE WHEN v.st <> 0 THEN v.st
+         |    WHEN v.vid IN (SELECT vid FROM c$k) THEN 1
+         |    WHEN v.vid IN (SELECT vid FROM o$k) THEN 2
+         |    ELSE 0 END AS st
+         |  FROM s${k - 1} v)""".stripMargin
+    s"""WITH $eventEdges,
+       |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+       |  WHERE src <> dst),
+       |s0 AS (SELECT vid, 0 AS st FROM dict),
+       |${(1 to rounds).map(roundCte).mkString(",\n")}
+       |SELECT vid, st FROM s$rounds ORDER BY vid""".stripMargin
+  }
+
   /** Unrolled synchronous LPA, smallest-label tie-break, `rounds` rounds. */
   def gLpa(rounds: Int): String = {
     def roundCte(k: Int): String =

@@ -1136,6 +1136,75 @@ object PipelineQueries {
       |  round(CAST(sum(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS DOUBLE) / count(*), 6) AS mean_tokens
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Words per dedup block for [[dBlockDedup]]: 3 keeps real duplicate
+    * signal on the fixture vocabulary while staying a faithful stand-in
+    * for the production 50–100-token window. */
+  val DedupBlockW = 3
+
+  /** Block-level exact dedup (round 6) — the chunked approximation of
+    * suffix-array substring dedup (Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better", which dedups exact 50-token
+    * spans): split each doc into consecutive NON-overlapping
+    * [[DedupBlockW]]-word blocks and report, per doc, how many of its
+    * blocks also appear in ≥ 2 distinct docs. Complements d_dedup_exact
+    * (whole-doc) and d_minhash_lsh (near-dup): this one finds copied
+    * PASSAGES inside otherwise-distinct docs.
+    *
+    * Scale shape: the corpus-wide agg groups on md5(block) — 32 bytes
+    * per block through the exchange regardless of block text, the
+    * embedding-digest discipline; per-doc work is one split + explode.
+    * Counts are integers, ONE division at the end (6dp).
+    *
+    * Blocks are whole chunks only (a trailing partial block is not a
+    * unit); docs under [[DedupBlockW]] words have n_blocks = 0 and
+    * dup_frac = 0 by convention. */
+  def dBlockDedup(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    val blocks = base
+      .select(F.col("doc_id"), F.split(F.col("text"), " ").as("words"))
+      .where(F.size(F.col("words")) >= DedupBlockW)
+      .select(F.col("doc_id"), F.explode(F.expr(
+        s"transform(sequence(1, size(words) div $DedupBlockW), " +
+          s"i -> concat_ws(' ', slice(words, (i - 1) * $DedupBlockW + 1, $DedupBlockW)))"))
+        .as("blk"))
+      .select(F.col("doc_id"), F.md5(F.col("blk")).as("bk"))
+    val dup = blocks.groupBy("bk")
+      .agg(F.countDistinct("doc_id").as("nd"))
+      .where(F.col("nd") >= 2).select("bk")
+    val per = blocks.join(dup.withColumn("isdup", F.lit(1L)), Seq("bk"), "left")
+      .groupBy("doc_id")
+      .agg(F.count(F.lit(1)).as("nb"),
+        F.sum(F.coalesce(F.col("isdup"), F.lit(0L))).as("ndup"))
+    base.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("nb"), F.lit(0L)).as("n_blocks"),
+        F.coalesce(F.col("ndup"), F.lit(0L)).as("n_dup_blocks"),
+        F.round(F.when(F.col("nb") > 0,
+          F.col("ndup").cast("double") / F.col("nb"))
+          .otherwise(F.lit(0.0)), 6).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val dBlockDedupSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |b AS (
+       |  SELECT doc_id, md5(array_to_string(
+       |    words[(i - 1) * $DedupBlockW + 1 : i * $DedupBlockW], ' ')) AS bk
+       |  FROM w, unnest(range(1, len(words) // $DedupBlockW + 1)) AS t(i)
+       |  WHERE len(words) >= $DedupBlockW),
+       |dup AS (SELECT bk FROM b GROUP BY bk HAVING count(DISTINCT doc_id) >= 2),
+       |per AS (
+       |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS nb,
+       |         CAST(sum(CASE WHEN d.bk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ndup
+       |  FROM b LEFT JOIN dup d ON d.bk = b.bk GROUP BY b.doc_id)
+       |SELECT doc.doc_id,
+       |  coalesce(p.nb, 0) AS n_blocks,
+       |  coalesce(p.ndup, 0) AS n_dup_blocks,
+       |  round(CASE WHEN coalesce(p.nb, 0) > 0
+       |    THEN CAST(p.ndup AS DOUBLE) / p.nb ELSE CAST(0 AS DOUBLE) END, 6) AS dup_frac
+       |FROM documents doc LEFT JOIN per p ON p.doc_id = doc.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+
   // ------------------------------------------------------------ similarity
 
   def eCosineTopk(s: SparkSession, d: String): DataFrame = {
@@ -1271,6 +1340,7 @@ object PipelineQueries {
     "d_pii_counts" -> (dPiiCounts _),
     "d_redact" -> (dRedact _),
     "d_source_stats" -> (dSourceStats _),
+    "d_block_dedup" -> (dBlockDedup _),
     "e_cosine_topk" -> (eCosineTopk _),
     // LSH-bucketed ANN, the scale path of e_cosine_topk; hyperplanes are
     // deterministic, so the bucket assignment + top-k has a full DuckDB
@@ -1336,6 +1406,7 @@ object PipelineQueries {
     "d_pii_counts" -> dPiiCountsSql,
     "d_redact" -> dRedactSql,
     "d_source_stats" -> dSourceStatsSql,
+    "d_block_dedup" -> dBlockDedupSql,
     "e_cosine_topk" -> eCosineTopkSql,
     "e_ann_lsh" -> graft.pipeline.Similarity.annLshSql(AnnQueries, AnnK, AnnDim,
       planes = oraclePlanes),

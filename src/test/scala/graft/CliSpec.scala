@@ -157,6 +157,32 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/dict").count() == graph.dict.count())
   }
 
+  test("hits CLI: scores match a direct run; dict snapshot written") {
+    val out = tmp()
+    Main.run(spark, Array("hits", "--conv", Conv, "--rounds", "3",
+      "--out", out, "--ckpt", tmp()))
+    val cli = spark.read.parquet(s"$out/hits").orderBy("vid")
+      .as[(Long, Double, Double)].collect().toSeq
+    val api = graft.algo.Hits.run(graph, 3)
+      .orderBy("vid").as[(Long, Double, Double)].collect().toSeq
+    assert(cli == api && cli.nonEmpty)
+    assert(spark.read.parquet(s"$out/dict").count() == graph.dict.count())
+  }
+
+  test("mis CLI: states match a direct run over the symmetric closure") {
+    val out = tmp()
+    Main.run(spark, Array("mis", "--conv", Conv, "--max-rounds", "8",
+      "--out", out, "--ckpt", tmp()))
+    val cli = spark.read.parquet(s"$out/mis").orderBy("vid")
+      .as[(Long, Int)].collect().toSeq
+    val und = graph.symmetrized.where(F2.col("src") =!= F2.col("dst"))
+    val api = graft.algo.Mis.run(graph.vertices, und, 8)
+      .orderBy("vid").as[(Long, Int)].collect().toSeq
+    assert(cli == api && cli.nonEmpty)
+    // a fixpoint run leaves nothing undecided on this fixture
+    assert(cli.forall(_._2 != 0))
+  }
+
   test("nhood CLI (hyperball): per-vertex HyperANF centrality frame written") {
     val out = tmp()
     Main.run(spark, Array("nhood", "--conv", Conv, "--mode", "hyperball",

@@ -196,6 +196,119 @@ class RoundSixOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- round-6 new operators: HITS, MIS, block dedup ----
+
+  test("hits == dense in-driver recurrence (sequential update, final L1 norm)") {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    val radj = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1).toSet }
+    var a = Array.fill(n)(1.0); var h = Array.fill(n)(1.0)
+    val rounds = 3
+    for (_ <- 1 to rounds) {
+      // iterator: mapping over the neighbor SET would collapse equal scores
+      val na = (0 until n).map(v =>
+        radj.getOrElse(v.toLong, Set.empty).iterator.map(u => h(u.toInt)).sum).toArray
+      val nh = (0 until n).map(v =>
+        adj.getOrElse(v.toLong, Set.empty).iterator.map(w => na(w.toInt)).sum).toArray
+      a = na; h = nh
+    }
+    val (sa, sh) = (a.sum, h.sum)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (0 until n).map(v => (v.toLong, r6(a(v) / sa), r6(h(v) / sh)))
+    val got = Hits.run(graph, rounds).as[(Long, Double, Double)].collect().toSeq
+    assert(got.size == n)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && math.abs(g._2 - w._2) < 1e-9 &&
+        math.abs(g._3 - w._3) < 1e-9, s"got $g want $w")
+    }
+  }
+
+  test("hits: durable kill + resume == uninterrupted (bit-identical)") {
+    val clean = Hits.run(graph, 3).as[(Long, Double, Double)].collect().toSeq
+    val dir = tmp()
+    val io = new ParquetManifestIO(spark, dir)
+    intercept[RuntimeException] {
+      Hits.run(graph, 3, new KillAfter(new CheckpointMaterializer(io, "hits"), 2))
+    }
+    assert(io.latest("hits").contains(1), "rounds 0-1 must be committed")
+    val resumed = Hits.run(graph, 3,
+      new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "hits"))
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(resumed == clean)
+  }
+
+  private def undFrame(g: LinkGraph): DataFrame =
+    g.symmetrized.where(F.col("src") =!= F.col("dst"))
+
+  test("mis: independent, maximal, deterministic, == round-replay oracle") {
+    val und = edges.flatMap { case (s, d) => Seq((s, d), (d, s)) }.distinct
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    // in-driver replay of the SAME deterministic rounds
+    val st = Array.fill(n)(0)
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 8) {
+      rounds += 1
+      val newIn = (0 until n).filter(v => st(v) == 0 &&
+        und.getOrElse(v.toLong, Set.empty)
+          .forall(u => st(u.toInt) != 0 || u > v))
+      changed = newIn.nonEmpty
+      newIn.foreach(st(_) = 1)
+      newIn.foreach(v => und.getOrElse(v.toLong, Set.empty)
+        .foreach(u => if (st(u.toInt) == 0) st(u.toInt) = 2))
+    }
+    val got = Mis.run(graph.vertices, undFrame(graph), 8)
+      .as[(Long, Int)].collect().toSeq
+    assert(got == (0 until n).map(v => (v.toLong, st(v))))
+    // properties: no undecided at fixpoint; in-set pairwise non-adjacent;
+    // every excluded vertex has an in-set neighbor (maximality witness)
+    val inSet = got.filter(_._2 == 1).map(_._1).toSet
+    assert(got.forall(_._2 != 0))
+    edges.foreach { case (s, d) =>
+      assert(!(inSet(s) && inSet(d)), s"adjacent in-set pair ($s,$d)")
+    }
+    got.filter(_._2 == 2).foreach { case (v, _) =>
+      assert(und(v).exists(inSet), s"excluded $v has no in-set neighbor")
+    }
+  }
+
+  test("mis: durable kill + resume == uninterrupted") {
+    val clean = Mis.run(graph.vertices, undFrame(graph), 8)
+      .as[(Long, Int)].collect().toSeq
+    val dir = tmp()
+    val io = new ParquetManifestIO(spark, dir)
+    intercept[RuntimeException] {
+      Mis.run(graph.vertices, undFrame(graph), 8,
+        new KillAfter(new CheckpointMaterializer(io, "mis"), 2))
+    }
+    val resumed = Mis.run(graph.vertices, undFrame(graph), 8,
+      new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "mis"))
+      .as[(Long, Int)].collect().toSeq
+    assert(resumed == clean)
+  }
+
+  test("d_block_dedup: crafted corpus — shared blocks, partials, short docs") {
+    val t = tmp()
+    // doc 0 and 1 share their first TWO 3-word blocks; doc 2 repeats doc 0's
+    // first block but nothing else; doc 3 is under 3 words (0 blocks);
+    // doc 4's trailing 2 words are a partial block (not a unit)
+    Seq(
+      (0L, "a b c d e f x y z", "en", "web", 17L),
+      (1L, "a b c d e f q r s", "en", "web", 17L),
+      (2L, "a b c g g g h h h", "en", "web", 17L),
+      (3L, "a b", "en", "web", 3L),
+      (4L, "p p p k k", "en", "web", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$t/documents.parquet")
+    val got = graft.queries.PipelineQueries.queries("d_block_dedup")(spark, t)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 2L, 0.666667),
+      (1L, 3L, 2L, 0.666667),
+      (2L, 3L, 1L, 0.333333),
+      (3L, 0L, 0L, 0.0),
+      (4L, 1L, 0L, 0.0)))
+  }
+
   test("hub_distq pair sample is linear: ≤ Offsets pairs per anchor, offsets exact") {
     val q = graft.queries.GraphQueries
     val rows = q.queries("g_hub_distq")(spark, sf)
