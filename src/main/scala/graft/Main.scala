@@ -18,7 +18,7 @@ import graft.io.ParquetManifestIO
   * Sources (one of): --input <transcripts parquet>, --events <events parquet>,
   * or --conv N [--seed 42] (deterministic synthetic transcripts).
   * Commands: pagerank | ppr | cc | lpa | triangles | kcore | scc | sssp |
-  * nhood | hubs | betweenness | katz | hits | mis | dedup | ann.
+  * nhood | hubs | betweenness | katz | hits | mis | ktruss | dedup | ann.
   * Without --resume, a fresh run clears the checkpoint root first;
   * with --resume, the loop continues from the last committed iteration.
   */
@@ -41,7 +41,7 @@ object Main {
   }
 
   val usage: String =
-    """usage: graft.Main <pagerank|ppr|cc|lpa|triangles|kcore|scc|sssp|nhood|hubs|betweenness|katz|hits|mis|dedup|ann> ...
+    """usage: graft.Main <pagerank|ppr|cc|lpa|triangles|kcore|scc|sssp|nhood|hubs|betweenness|katz|hits|mis|ktruss|dedup|ann> ...
       |graph commands: [--input P|--events P|--conv N]
       |  [--seed 42] [--out DIR] [--ckpt DIR] [--resume] [--tol 1e-6]
       |  [--damping 0.85] [--max-iters 100] [--rounds 10] [--local N]
@@ -59,6 +59,7 @@ object Main {
       |  [--alpha 0.1] [--rounds 6]  (katz)
       |  [--rounds 3]  (hits)
       |  [--max-rounds 8]  (mis)
+      |  [--k 4] [--max-rounds 6]  (ktruss)
       |  [--packed]  (pagerank|cc|lpa: hub-split CSR layout + CsrExpand operator)
       |  [--warm P]  (pagerank / cc hashmin: seed from a prior run's --out dir —
       |               ranks/labels are remapped onto the current graph's ids via
@@ -396,6 +397,19 @@ object Main {
         writeDict()
         val undecided = ms.where(F.col("st") === 0).count()
         println(s"""{"cmd":"mis","rounds":$rounds,"vertices":${graph.numVertices},"undecided":$undecided,"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
+      case "ktruss" =>
+        // k-truss edge peel over the symmetric simple closure, one durable
+        // surviving-edge-set commit per round.
+        val k = opts.getOrElse("k", "4").toInt
+        val rounds = opts.getOrElse("max-rounds", "6").toInt
+        val und = graph.symmetrized.where(F.col("src") =!= F.col("dst"))
+        val tr = Truss.run(und, k, rounds,
+          materializer(spark, opts, "ktruss", bucketCol = "u",
+            extraTokens = Seq(s"k=$k", s"rounds=$rounds")),
+          sizeHint = math.max(graph.numVertices, graph.numEdges))
+        write(tr.orderBy("u", "v"), "ktruss")
+        writeDict()
+        println(s"""{"cmd":"ktruss","k":$k,"rounds":$rounds,"edges_kept":${tr.count()},"wall_sec":${(System.nanoTime() - t0) / 1e9}}""")
       case "nhood" =>
         // Neighborhood function N(t), t = 0..--max-t. --mode exact (BFS
         // pairs; also writes harmonic centrality) or hyperball (HLL

@@ -35,6 +35,8 @@ object GraphQueries {
   val KatzRounds = 6
   val HitsRounds = 3
   val MisRounds = 8
+  val KTrussK = 4
+  val KTrussRounds = 6
 
   /** Packed hub-split CSR + CsrExpand codegen is the DEFAULT layout for the
     * driver's iterative graph queries (round-3 verdict "Next round #5" —
@@ -167,9 +169,12 @@ object GraphQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val misCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val trussCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   graft.Caches.register(() => ccCache.clear())
   graft.Caches.register(() => hitsCache.clear())
   graft.Caches.register(() => misCache.clear())
+  graft.Caches.register(() => trussCache.clear())
 
   def ccLabels(s: SparkSession, d: String): DataFrame =
     ccCache.getOrElseUpdate((s, d),
@@ -259,6 +264,17 @@ object GraphQueries {
     "g_hits" -> ((s, d) => hitsCache.getOrElseUpdate((s, d),
       org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(
         Hits.run(graph(s, d), HitsRounds)))),
+
+    // k-truss decomposition over the shared undirected frame: surviving
+    // canonical edges with fixpoint support (Truss scaladoc — monotone
+    // edge peel, the cohesive-community analogue of k-core).
+    "g_ktruss" -> ((s, d) => trussCache.getOrElseUpdate((s, d), {
+      val g = graph(s, d)
+      val (und, _) = undirected(s, d)
+      org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(
+        Truss.run(und, KTrussK, KTrussRounds,
+          sizeHint = math.max(g.numVertices, g.numEdges)))
+    })),
 
     // Deterministic local-min MIS over the shared undirected frame,
     // round-capped (Mis scaladoc — vid-priority Luby skeleton).
@@ -533,6 +549,7 @@ object GraphQueries {
     "g_compsizes" -> OracleSql.gCompsizes,
     "g_hits" -> OracleSql.gHits(HitsRounds),
     "g_mis" -> OracleSql.gMis(MisRounds),
+    "g_ktruss" -> OracleSql.gKtruss(KTrussK, KTrussRounds),
     "g_lpa" -> OracleSql.gLpa(LpaRounds),
     "g_triangles" -> OracleSql.gTriangles,
     "g_tri_pervertex" -> OracleSql.gTriPerVertex,

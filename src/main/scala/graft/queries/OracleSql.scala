@@ -265,6 +265,43 @@ object OracleSql {
        |SELECT vid, st FROM s$rounds ORDER BY vid""".stripMargin
   }
 
+  /** Unrolled k-truss peel: per round, per-edge support = common-neighbor
+    * count over the surviving symmetric closure, edges below k−2 dropped;
+    * rounds beyond fixpoint are no-ops. Final select reports the
+    * survivors' support over the final edge set (LEFT JOIN + coalesce 0,
+    * matching Truss.supportOf exactly) — mirrors Truss.run. */
+  def gKtruss(k: Int, rounds: Int): String = {
+    def symCte(j: Int): String =
+      s"""y$j AS MATERIALIZED (
+         |  SELECT u AS a, v AS b FROM e$j UNION ALL SELECT v, u FROM e$j)""".stripMargin
+    def roundCte(j: Int): String =
+      s"""${symCte(j - 1)},
+         |p$j AS MATERIALIZED (
+         |  SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+         |  FROM e${j - 1} e
+         |  JOIN y${j - 1} a ON a.a = e.u AND a.b <> e.v
+         |  JOIN y${j - 1} b ON b.a = e.v AND b.b = a.b
+         |  GROUP BY e.u, e.v),
+         |e$j AS MATERIALIZED (
+         |  SELECT u, v FROM p$j WHERE sup >= ${k - 2})""".stripMargin
+    s"""WITH $eventEdges,
+       |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+       |  WHERE src <> dst),
+       |e0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM sym WHERE src < dst),
+       |${(1 to rounds).map(roundCte).mkString(",\n")},
+       |${symCte(rounds)},
+       |f AS (
+       |  SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS sup
+       |  FROM e$rounds e
+       |  JOIN y$rounds a ON a.a = e.u AND a.b <> e.v
+       |  JOIN y$rounds b ON b.a = e.v AND b.b = a.b
+       |  GROUP BY e.u, e.v)
+       |SELECT e.u, e.v, coalesce(f.sup, CAST(0 AS BIGINT)) AS sup
+       |FROM e$rounds e LEFT JOIN f ON f.u = e.u AND f.v = e.v
+       |ORDER BY e.u, e.v""".stripMargin
+  }
+
   /** Unrolled synchronous LPA, smallest-label tie-break, `rounds` rounds. */
   def gLpa(rounds: Int): String = {
     def roundCte(k: Int): String =

@@ -183,6 +183,20 @@ class CliSpec extends SparkSpec {
     assert(cli.forall(_._2 != 0))
   }
 
+  test("ktruss CLI: surviving edges match a direct Truss.run") {
+    val out = tmp()
+    Main.run(spark, Array("ktruss", "--conv", Conv, "--k", "3",
+      "--max-rounds", "10", "--out", out, "--ckpt", tmp()))
+    val cli = spark.read.parquet(s"$out/ktruss").orderBy("u", "v")
+      .as[(Long, Long, Long)].collect().toSeq
+    val und = graph.symmetrized.where(F2.col("src") =!= F2.col("dst"))
+    val api = graft.algo.Truss.run(und, 3, 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(cli == api)
+    // every surviving edge sits in >= 1 triangle of the survivors (k=3)
+    assert(cli.forall(_._3 >= 1))
+  }
+
   test("nhood CLI (hyperball): per-vertex HyperANF centrality frame written") {
     val out = tmp()
     Main.run(spark, Array("nhood", "--conv", Conv, "--mode", "hyperball",

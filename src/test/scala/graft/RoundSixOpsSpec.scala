@@ -286,6 +286,62 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(resumed == clean)
   }
 
+  test("ktruss == brute-force peel; diamond/clique goldens") {
+    // brute-force peel on the seeded graph's undirected simple closure
+    def brute(es: Set[(Long, Long)], k: Int): Map[(Long, Long), Int] = {
+      var cur = es
+      var done = false
+      var sup = Map.empty[(Long, Long), Int]
+      while (!done) {
+        val nb = cur.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (v, s) => v -> s.map(_._2) }
+        sup = cur.iterator.map { e =>
+          e -> (nb(e._1) & nb(e._2)).size
+        }.toMap
+        val next = cur.filter(e => sup(e) >= k - 2)
+        done = next == cur
+        cur = next
+      }
+      sup.filter { case (e, _) => cur(e) }
+    }
+    val canon = edges.flatMap { case (s, d) =>
+      Seq((math.min(s, d), math.max(s, d)))
+    }.toSet
+    val want = brute(canon, 4).toSeq.sortBy(x => (x._1._1, x._1._2))
+      .map { case ((u, v), s) => (u, v, s.toLong) }
+    val got = Truss.run(undFrame(graph), 4, 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want, s"got ${got.take(5)}... want ${want.take(5)}...")
+
+    // goldens: a 4-clique is a 4-truss (every edge in 2 triangles); a
+    // diamond (4-cycle + one chord) is a 3-truss but NOT a 4-truss
+    val clique = lg(4, for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b))
+    val cliqueT = Truss.run(undFrame(clique), 4, 10)
+      .as[(Long, Long, Long)].collect()
+    assert(cliqueT.length == 6 && cliqueT.forall(_._3 == 2L))
+    val diamond = lg(4, Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)))
+    assert(Truss.run(undFrame(diamond), 4, 10).isEmpty)
+    val d3 = Truss.run(undFrame(diamond), 3, 10)
+      .as[(Long, Long, Long)].collect()
+    assert(d3.length == 5, "the whole diamond is a 3-truss")
+  }
+
+  test("ktruss: durable kill + resume == uninterrupted") {
+    val clean = Truss.run(undFrame(graph), 4, 20)
+      .as[(Long, Long, Long)].collect().toSeq
+    val dir = tmp()
+    val io = new ParquetManifestIO(spark, dir)
+    intercept[RuntimeException] {
+      Truss.run(undFrame(graph), 4, 20,
+        new KillAfter(new CheckpointMaterializer(io, "ktruss"), 2))
+    }
+    assert(io.latest("ktruss").contains(1), "round 0-1 edge sets must be durable")
+    val resumed = Truss.run(undFrame(graph), 4, 20,
+      new CheckpointMaterializer(new ParquetManifestIO(spark, dir), "ktruss"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(resumed == clean)
+  }
+
   test("d_block_dedup: crafted corpus — shared blocks, partials, short docs") {
     val t = tmp()
     // doc 0 and 1 share their first TWO 3-word blocks; doc 2 repeats doc 0's
