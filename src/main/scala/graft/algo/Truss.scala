@@ -16,12 +16,12 @@ import org.apache.spark.sql.{DataFrame, functions => F}
   * the unrolled DuckDB oracle replay it round for round.
   *
   * Per round: support(u,v) = |N(u) ∩ N(v)| over the surviving undirected
-  * simple graph, computed as one wedge join (canonical edge ⋈ symmetric
-  * closure on the u side, then matched against the v side) + one count
-  * agg + one left-join-filter. The wedge fan-out through hub vertices is
-  * the triangle-count cost profile; the surviving edge set only SHRINKS,
-  * so per-round work decays with the peel (k-core's shape, one order
-  * heavier per round by the wedge).
+  * simple graph, computed by DEGREE-ORDERED triangle enumeration — each
+  * triangle found once at its (deg, vid)-minimal apex, then credited to
+  * its three edges — so wedge fan-out is bounded by arboricity, not the
+  * heaviest hub's degree (the same skew defense as Triangles.run). The
+  * surviving edge set only SHRINKS, so per-round work decays with the
+  * peel (k-core's shape, one order heavier per round by the wedge).
   *
   * Durable via [[Materializer]]: each round commits the surviving
   * canonical edge set (u, v); resume recomputes support on the committed
@@ -52,20 +52,47 @@ object Truss {
             mat.iter(0, init.repartition(F.col("u")), Map("init" -> true))))
       }
 
-      // support over the CURRENT survivors: rebuild the symmetric closure
-      // from the canonical set each round (survivors shrink, so this is a
-      // cheap union-projection, not a distinct)
+      // Support over the CURRENT survivors via DEGREE-ORDERED triangle
+      // enumeration (the Triangles.run skew defense): orient each edge
+      // low≺high under (deg, vid), enumerate each triangle ONCE at its
+      // ≺-minimal apex — wedge fan-out is bounded by arboricity instead
+      // of the heaviest hub's degree — then credit all three edges. A
+      // naive per-edge |N(u)∩N(v)| wedge join costed 14.4 s at sf0.1
+      // (hub fan-out × rounds); this shape is the web-scale one. The
+      // support VALUES are identical, so the DuckDB oracle keeps the
+      // direct common-neighbor formulation.
       def supportOf(e: DataFrame): DataFrame = {
         val sym = e.select(F.col("u").as("a"), F.col("v").as("b"))
           .unionByName(e.select(F.col("v").as("a"), F.col("u").as("b")))
-        val wedges = e
-          .join(sym.select(F.col("a").as("u"), F.col("b").as("w")), "u")
-          .where(F.col("w") =!= F.col("v"))
-        val closed = wedges
-          .join(sym.select(F.col("a").as("v"), F.col("b").as("w")),
-            Seq("v", "w"))
+        val deg = sym.groupBy(F.col("a").as("x"))
+          .agg(F.count(F.lit(1)).as("dx"))
+        val wd = e
+          .join(deg.select(F.col("x").as("u"), F.col("dx").as("du")), "u")
+          .join(deg.select(F.col("x").as("v"), F.col("dx").as("dv")), "v")
+        val uFirst = (F.col("du") < F.col("dv")) ||
+          (F.col("du") === F.col("dv") && F.col("u") < F.col("v"))
+        // oriented edge (a ≺ b) carrying b's degree for the wedge order
+        val o = wd.select(
+          F.when(uFirst, F.col("u")).otherwise(F.col("v")).as("a"),
+          F.when(uFirst, F.col("v")).otherwise(F.col("u")).as("b"),
+          F.when(uFirst, F.col("dv")).otherwise(F.col("du")).as("db"))
+        val wedges = o
+          .join(o.select(F.col("a"), F.col("b").as("c"), F.col("db").as("dc")), "a")
+          .where((F.col("db") < F.col("dc")) ||
+            (F.col("db") === F.col("dc") && F.col("b") < F.col("c")))
+        val tris = wedges
+          .join(o.select(F.col("a").as("b"), F.col("b").as("c")),
+            Seq("b", "c"), "left_semi")
+        val credits = tris.select(F.explode(F.array(
+          F.struct(F.least(F.col("a"), F.col("b")).as("u"),
+            F.greatest(F.col("a"), F.col("b")).as("v")),
+          F.struct(F.least(F.col("a"), F.col("c")).as("u"),
+            F.greatest(F.col("a"), F.col("c")).as("v")),
+          F.struct(F.least(F.col("b"), F.col("c")).as("u"),
+            F.greatest(F.col("b"), F.col("c")).as("v")))).as("edge"))
+          .select(F.col("edge.u").as("u"), F.col("edge.v").as("v"))
           .groupBy("u", "v").agg(F.count(F.lit(1)).as("sup"))
-        e.join(closed, Seq("u", "v"), "left")
+        e.join(credits, Seq("u", "v"), "left")
           .select(F.col("u"), F.col("v"),
             F.coalesce(F.col("sup"), F.lit(0L)).as("sup"))
       }
