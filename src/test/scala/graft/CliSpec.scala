@@ -183,18 +183,23 @@ class CliSpec extends SparkSpec {
     assert(cli.forall(_._2 != 0))
   }
 
-  test("ktruss CLI: surviving edges match a direct Truss.run") {
+  test("ktruss CLI: surviving edges match a direct Truss.run (non-empty truss)") {
+    // the transcript fixture is triangle-free (its truss is honestly
+    // empty) — drive the CLI on the events fixture instead, whose
+    // 4-truss is non-empty, so the parity check has teeth
+    val events = "/root/testdata/sf0.001/events.parquet"
     val out = tmp()
-    Main.run(spark, Array("ktruss", "--conv", Conv, "--k", "3",
+    Main.run(spark, Array("ktruss", "--events", events, "--k", "4",
       "--max-rounds", "10", "--out", out, "--ckpt", tmp()))
     val cli = spark.read.parquet(s"$out/ktruss").orderBy("u", "v")
       .as[(Long, Long, Long)].collect().toSeq
-    val und = graph.symmetrized.where(F2.col("src") =!= F2.col("dst"))
-    val api = graft.algo.Truss.run(und, 3, 10)
+    val eg = GraphBuilder.fromEvents(spark.read.parquet(events))
+    val und = eg.symmetrized.where(F2.col("src") =!= F2.col("dst"))
+    val api = graft.algo.Truss.run(und, 4, 10)
       .as[(Long, Long, Long)].collect().toSeq
-    assert(cli == api)
-    // every surviving edge sits in >= 1 triangle of the survivors (k=3)
-    assert(cli.forall(_._3 >= 1))
+    assert(cli == api && cli.nonEmpty)
+    // every surviving edge sits in >= 2 triangles of the survivors (k=4)
+    assert(cli.forall(_._3 >= 2))
   }
 
   test("nhood CLI (hyperball): per-vertex HyperANF centrality frame written") {
