@@ -39,6 +39,15 @@ private[algo] final class FlatLoop(spark: org.apache.spark.sql.SparkSession) {
     }
   }
 
+  /** Free EVERY generation of the named slots (for frames that are wholly
+    * dead — e.g. the per-round mark parts of a finished SCC phase, already
+    * folded into a materialized downstream frame). */
+  def drop(slots: String*): Unit = slots.foreach { s =>
+    gens.get(s).foreach(_.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(false))))
+    gens -= s
+  }
+
   /** End-of-run reclamation (round-5 ADVICE): free EVERY tracked
     * generation except the latest of the named `keep` slots. Call only
     * after the kept frames are materialized — everything else (level

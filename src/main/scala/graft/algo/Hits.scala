@@ -59,15 +59,20 @@ object Hits {
         val aAgg = s.select(F.col("vid"), F.col("h"))
           .join(de.withColumnRenamed("src", "vid"), "vid")
           .groupBy(F.col("dst").as("vid")).agg(F.sum("h").as("na"))
-        val aNew = graph.vertices.join(aAgg, Seq("vid"), "left")
-          .select(F.col("vid"), F.coalesce(F.col("na"), F.lit(0.0)).as("a"))
-        // hubs from the NEW authorities: sum over out-neighbors
-        val hAgg = aNew
+        // hubs from the NEW authorities: sum over out-neighbors. Consumes
+        // aAgg DIRECTLY — a vertex absent from aAgg has a = 0 and
+        // contributes nothing to any hub sum, so padding the zeros in
+        // before this join (the previous shape's full-vertex aNew frame)
+        // only added a second vertices join per round for identical sums.
+        val hAgg = aAgg
           .join(de.withColumnRenamed("dst", "vid")
             .withColumnRenamed("src", "osrc"), "vid")
-          .groupBy(F.col("osrc").as("vid")).agg(F.sum("a").as("nh"))
-        val next = aNew.join(hAgg, Seq("vid"), "left")
-          .select(F.col("vid"), F.col("a"),
+          .groupBy(F.col("osrc").as("vid")).agg(F.sum("na").as("nh"))
+        val next = graph.vertices
+          .join(aAgg, Seq("vid"), "left")
+          .join(hAgg, Seq("vid"), "left")
+          .select(F.col("vid"),
+            F.coalesce(F.col("na"), F.lit(0.0)).as("a"),
             F.coalesce(F.col("nh"), F.lit(0.0)).as("h"))
         s = fl.ckpt("s", mat.iter(t, next, Map.empty))
         fl.sweep("s")

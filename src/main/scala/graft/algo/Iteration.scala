@@ -46,6 +46,12 @@ trait Materializer {
              fingerprint: Option[String] = None): DataFrame
   /** Resume point: highest committed iteration and its state, if any. */
   def resume(): Option[(Int, DataFrame)]
+  /** Every committed iteration ascending — for loops whose commits are
+    * per-round SLICES rather than cumulative snapshots (Betweenness commits
+    * one (phase, level) slice per round, so total durable write volume is
+    * O(state), not O(rounds × state) — round-6 ADVICE). Default: the latest
+    * cumulative snapshot as a single slice, which is exactly resume(). */
+  def resumeSlices(): Seq[(Int, DataFrame)] = resume().toSeq
   /** Record metrics computed AFTER iter's commit (cheap agg over the
     * committed data) — the IterMetrics ledger [BASELINE.json:6]. */
   def note(iter: Int, meta: Map[String, Any]): Unit
@@ -195,6 +201,14 @@ final class CheckpointMaterializer(io: TableIO, val stateTable: String,
             "fresh directory (or drop --resume to recompute)")
       (i, io.read(stateTable, i))
     }
+  /** All slices 0..latest. The run-fingerprint guard rides on [[resume]]
+    * (it checks the LATEST commit — every slice of a run carries the same
+    * fingerprint, since the stamp is per-materializer). */
+  override def resumeSlices(): Seq[(Int, DataFrame)] = resume() match {
+    case None => Nil
+    case Some((latest, df)) =>
+      (0 until latest).map(j => (j, io.read(stateTable, j))) :+ ((latest, df))
+  }
   override def note(iter: Int, meta: Map[String, Any]): Unit =
     io.note(stateTable, iter, meta)
   override def log: Seq[Map[String, Any]] = io.commitLog(stateTable)

@@ -43,8 +43,13 @@ object KCore {
 
   final case class KCoreResult(members: DataFrame, rounds: Int, converged: Boolean)
 
+  /** `sharedSym`: an already-materialized symmetric simple frame (the
+    * engine's `undirected` memo — identical set to the one built here:
+    * distinct symmetric closure, self-loops dropped). Passing it skips the
+    * union+distinct shuffle this run would otherwise re-pay (guide §1.2). */
   def run(graph: LinkGraph, k: Int, maxRounds: Int = 8,
-          mat: Materializer = new LocalMaterializer): KCoreResult =
+          mat: Materializer = new LocalMaterializer,
+          sharedSym: Option[DataFrame] = None): KCoreResult =
     IterativeConf(graph.spark, Some(mat.loopPartitions.getOrElse(
       IterativeConf.adaptivePartitions(graph.spark,
         math.max(graph.numVertices, graph.numEdges))))) {
@@ -55,7 +60,8 @@ object KCore {
       // in the materializer's run fingerprint (Main passes k=<k>), so a
       // --resume with a different k is refused instead of silently blended.
       val sym = mat.shared("sym",
-        graph.symmetrized.where(F.col("src") =!= F.col("dst"))
+        sharedSym.getOrElse(
+          graph.symmetrized.where(F.col("src") =!= F.col("dst")))
           .repartition(F.col("src")), repartitionKeys = Seq("src"))
 
       def restrict(edges: DataFrame, keep: DataFrame): DataFrame = edges
@@ -103,8 +109,10 @@ object KCore {
 
   /** (vid, in_core) over the full vertex set — the query surface. */
   def membership(graph: LinkGraph, k: Int, maxRounds: Int = 8,
-                 mat: Materializer = new LocalMaterializer): DataFrame = {
-    val m = run(graph, k, maxRounds, mat).members.withColumn("in_core", F.lit(true))
+                 mat: Materializer = new LocalMaterializer,
+                 sharedSym: Option[DataFrame] = None): DataFrame = {
+    val m = run(graph, k, maxRounds, mat, sharedSym).members
+      .withColumn("in_core", F.lit(true))
     graph.vertices.join(m, Seq("vid"), "left")
       .select(F.col("vid"), F.coalesce(F.col("in_core"), F.lit(false)).as("in_core"))
   }

@@ -58,9 +58,16 @@ object Neighborhood {
     * with d = dist(o→v) ≤ maxT (`reverse = true` walks edges dst→src, so
     * d = dist(v→o) — distances INTO the origins). The workhorse behind
     * [[exact]] and HubLabels: per-round cost is one frontier⋈edges join +
-    * an anti-join against the cumulative reach, state O(Σ|ball|) rows
-    * bucketed by origin. Durable per round via `mat`; resume recovers the
-    * frontier as the committed frame's max-d slice. Closes `mat`. */
+    * an anti-join against the cumulative reach. The cumulative reach is a
+    * UNION of the per-level flat frames — levels are append-only, so
+    * re-materializing (and re-shuffling) the whole cumulative state each
+    * round, as the pre-round-7 shape did, only copied O(reach) rows per
+    * round for nothing (guide §2.4: remove shuffles outright; §1.2: the
+    * distributed algorithm first). Durable commits are the per-round
+    * LEVEL SLICES (o, v, d): total durable write volume is O(reach), not
+    * O(maxT·reach); resume unions all committed slices
+    * ([[Materializer.resumeSlices]]) and the max-iter slice is the
+    * frontier. Closes `mat`. */
   def bfsFrom(graph: LinkGraph, origins: DataFrame, maxT: Int,
               reverse: Boolean = false,
               mat: Materializer = new LocalMaterializer): DataFrame =
@@ -75,18 +82,22 @@ object Neighborhood {
         repartitionKeys = Seq("src"),
         fingerprint = Some(s"reverse=$reverse"))
 
-      val (start, reach0, frontier0) = mat.resume() match {
-        case Some((t, df)) =>
-          val r = fl.ckpt("reach", df.select("o", "v", "d"))
-          (t, r, fl.ckpt("frontier", r.where(F.col("d") === t).select("o", "v")))
-        case None =>
+      val (start, parts0, frontier0) = mat.resumeSlices() match {
+        case Nil =>
           val init = origins.select(
             F.col("vid").as("o"), F.col("vid").as("v"), F.lit(0).as("d"))
-          val r = fl.ckpt("reach",
+          val f0 = fl.ckpt("f0",
             mat.iter(0, init.repartition(F.col("o")), Map("init" -> true)))
-          (0, r, fl.ckpt("frontier", r.select("o", "v")))
+          (0, Vector(f0), f0)
+        case slices =>
+          val t0 = slices.map(_._1).max
+          val parts = slices.sortBy(_._1).map { case (i, df) =>
+            fl.ckpt(s"f$i", df.select("o", "v", "d"))
+          }.toVector
+          (t0, parts, parts.last)
       }
-      var reach = reach0
+      var reachParts = parts0 // level t's flat frame at index t
+      def reach: DataFrame = reachParts.reduce(_ unionByName _)
       var frontier = frontier0
       var t = start
       var growing = frontier.count() > 0
@@ -96,16 +107,19 @@ object Neighborhood {
         // anything already reached at a smaller distance
         val cand = frontier.join(edges.withColumnRenamed("src", "v"), "v")
           .select(F.col("o"), F.col("dst").as("v")).distinct()
-        val fresh = fl.ckpt("frontier",
+        val fresh = fl.ckpt(s"f$t",
           cand.join(reach, Seq("o", "v"), "left_anti").withColumn("d", F.lit(t)))
         val nf = fresh.count()
         if (nf == 0) growing = false
         else {
-          reach = fl.ckpt("reach", reach.unionByName(fresh))
-          reach = mat.iter(t, reach.repartition(F.col("o")), Map("fresh" -> nf))
+          // commit the slice; the loop keeps ITS OWN flat frame as the live
+          // level part (materializers unpersist the previous commit's copy
+          // as the loop advances — fine for a discarded return, fatal for a
+          // frame the lazy reach union still reads)
+          mat.iter(t, fresh, Map("fresh" -> nf))
+          reachParts = reachParts :+ fresh
           frontier = fresh
         }
-        fl.sweep("reach", "frontier")
       }
       mat.close()
       reach

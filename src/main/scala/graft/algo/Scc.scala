@@ -143,12 +143,17 @@ object Scc {
           rounds += 1
           val msgs = edges.join(color.withColumnRenamed("vid", "src"), "src")
             .groupBy(F.col("dst").as("vid")).agg(F.min("color").as("mc"))
+          // carry prev through the checkpoint so the change count is one
+          // cheap agg over the committed blocks instead of a second
+          // state⋈state join per round (the CC/LPA discipline)
           val next = fl.ckpt("color", color.join(msgs, Seq("vid"), "left")
             .select(F.col("vid"),
-              F.least(F.col("color"), F.coalesce(F.col("mc"), F.col("color"))).as("color")))
-          changed = next.join(color.withColumnRenamed("color", "old"), "vid")
-            .where(F.col("color") =!= F.col("old")).count()
-          color = next
+              F.least(F.col("color"), F.coalesce(F.col("mc"), F.col("color"))).as("color"),
+              F.col("color").as("prev")))
+          changed = next
+            .agg(F.coalesce(F.sum(F.when(F.col("color") < F.col("prev"), 1L)
+              .otherwise(0L)), F.lit(0L))).first().getLong(0)
+          color = next.select("vid", "color")
           fl.sweep("color")
         }
 
@@ -160,7 +165,10 @@ object Scc {
         verts = fl.ckpt("verts", verts.join(scc, Seq("vid"), "left_anti"))
         edges = fl.ckpt("edges", restrict(edges, verts))
         remaining = verts.count()
-        fl.sweep("verts", "labeled", "edges", "color", "mark", "frontier")
+        fl.sweep("verts", "labeled", "edges", "color")
+        // the phase's mark parts are folded into labeled (materialized
+        // above) — free every generation, not just the stale ones
+        fl.drop((0 to maxRounds).map(i => s"mark$i"): _*)
         commitLabeled("mark")
       }
       finish(converged = remaining == 0)
@@ -186,9 +194,14 @@ object Scc {
     * same color(vid). */
   private def markPhase(fl: FlatLoop, edges: DataFrame, color: DataFrame,
                         maxRounds: Int): DataFrame = {
-    var mark = fl.ckpt("mark", color.where(F.col("vid") === F.col("color"))
-      .select(F.col("vid"), F.col("color")))
-    var frontier = mark
+    // The accumulated mark set is APPEND-ONLY: keep it as a lazy union of
+    // the per-round flat frontier frames instead of re-materializing the
+    // whole cumulative set every round (guide §1.2 — the bfsFrom shape).
+    var markParts = Vector(fl.ckpt("mark0",
+      color.where(F.col("vid") === F.col("color"))
+        .select(F.col("vid"), F.col("color"))))
+    def mark: DataFrame = markParts.reduce(_ unionByName _)
+    var frontier = markParts.head
     var growing = true
     var rounds = 0
     while (growing && rounds < maxRounds) {
@@ -201,14 +214,13 @@ object Scc {
         .where(F.col("color") === F.col("c2"))
         .select("vid", "color")
         .distinct()
-      val fresh = fl.ckpt("frontier", cand.join(mark, Seq("vid"), "left_anti"))
+      val fresh = fl.ckpt(s"mark$rounds", cand.join(mark, Seq("vid"), "left_anti"))
       val nf = fresh.count()
       if (nf == 0) growing = false
       else {
-        mark = fl.ckpt("mark", mark.unionByName(fresh))
+        markParts = markParts :+ fresh
         frontier = fresh
       }
-      fl.sweep("mark", "frontier")
     }
     mark.select(F.col("vid"), F.col("color").as("label"))
   }

@@ -63,18 +63,27 @@ object ShortestPaths {
         repartitionKeys = Seq("src"),
         fingerprint = Some("cost=kind:1/2"))
 
-      val (start, state0, frontier0) = mat.resume() match {
-        case Some((t, df)) =>
-          val s = fl.ckpt("state", df.select("o", "v", "dist"))
-          // monotone relaxation: the full committed state is a correct
-          // (if generous) frontier — superseded rows relax to no-ops
-          (t, s, s)
-        case None =>
+      // Durable commits are the per-round IMPROVEMENT SLICES (o, v, dist):
+      // relaxation is monotone, so the committed state is equivalently
+      // min-over-slices — total durable write volume tracks the improvement
+      // wavefront, not rounds × full state, and the per-round full-state
+      // repartition + second materialization of the old shape are gone
+      // (guide §2.4/§1.2 — the round-6 Betweenness ADVICE applied here).
+      val (start, state0, frontier0) = mat.resumeSlices() match {
+        case Nil =>
           val init = origins.select(
             F.col("vid").as("o"), F.col("vid").as("v"), F.lit(0).as("dist"))
           val s = fl.ckpt("state",
             mat.iter(0, init.repartition(F.col("o")), Map("init" -> true)))
           (0, s, s)
+        case slices =>
+          val t0 = slices.map(_._1).max
+          val s = fl.ckpt("state",
+            slices.map(_._2.select("o", "v", "dist")).reduce(_ unionByName _)
+              .groupBy("o", "v").agg(F.min("dist").as("dist")))
+          // monotone relaxation: the full reconstructed state is a correct
+          // (if generous) frontier — superseded rows relax to no-ops
+          (t0, s, s)
       }
       var state = state0
       var frontier = frontier0
@@ -95,10 +104,10 @@ object ShortestPaths {
         val nf = fresh.count()
         if (nf == 0) active = false
         else {
+          mat.iter(t, fresh, Map("fresh" -> nf)) // slice commit; return unused
           state = fl.ckpt("state",
             state.join(fresh.select("o", "v"), Seq("o", "v"), "left_anti")
               .unionByName(fresh))
-          state = mat.iter(t, state.repartition(F.col("o")), Map("fresh" -> nf))
           frontier = fresh
         }
         fl.sweep("state", "frontier")

@@ -31,18 +31,34 @@ object Triangles {
     * when both g_triangles and g_tri_pervertex consume it. */
   private[graft] val runs = new java.util.concurrent.atomic.AtomicLong(0)
 
-  def run(graph: LinkGraph, mat: Materializer = new LocalMaterializer): TriangleResult = {
+  /** `shared`: an already-materialized (symmetric simple edges, per-vertex
+    * degree) pair — GraphQueries.undirected's memo. When present, the
+    * canonical edge set is a map-side filter of the symmetric frame
+    * (src < dst keeps exactly one orientation of each distinct pair) and
+    * the degree frame is reused as-is, instead of re-paying the
+    * least/greatest+distinct shuffle and the degree aggregation that the
+    * shared frames already paid (guide §1.2/§2.4 — identical sets). */
+  def run(graph: LinkGraph, mat: Materializer = new LocalMaterializer,
+          shared: Option[(DataFrame, DataFrame)] = None): TriangleResult = {
     runs.incrementAndGet()
     // Canonical undirected edge set (u < v), self-loops dropped.
-    val und = mat.shared("und", graph.edges
-      .where(F.col("src") =!= F.col("dst"))
-      .select(F.least(F.col("src"), F.col("dst")).as("u"),
-              F.greatest(F.col("src"), F.col("dst")).as("v"))
-      .distinct())
+    val und = shared match {
+      case Some((sym, _)) => mat.shared("und",
+        sym.where(F.col("src") < F.col("dst"))
+          .select(F.col("src").as("u"), F.col("dst").as("v")))
+      case None => mat.shared("und", graph.edges
+        .where(F.col("src") =!= F.col("dst"))
+        .select(F.least(F.col("src"), F.col("dst")).as("u"),
+                F.greatest(F.col("src"), F.col("dst")).as("v"))
+        .distinct())
+    }
 
-    val deg = und.select(F.col("u").as("vid"))
-      .union(und.select(F.col("v").as("vid")))
-      .groupBy("vid").agg(F.count(F.lit(1)).as("deg"))
+    val deg = shared match {
+      case Some((_, d)) => d.select(F.col("vid"), F.col("deg"))
+      case None => und.select(F.col("u").as("vid"))
+        .union(und.select(F.col("v").as("vid")))
+        .groupBy("vid").agg(F.count(F.lit(1)).as("deg"))
+    }
 
     // Orient each edge by (deg, vid): s ≺ t. Carry endpoint degrees so the
     // wedge self-join can compare ≺ without another join.

@@ -101,13 +101,20 @@ object Truss {
       var t = start
       var active = true
       var lastSup: DataFrame = null
+      // carry the survivor count across rounds: the fixpoint test needs
+      // |committed| < |previous survivors|, and the previous round already
+      // counted its commit — one count() action per round, not two
+      // (round-6 ADVICE / verdict "What's wrong #3")
+      var prevCnt = e.count()
       while (t < maxRounds && active) {
         t += 1
         val sup = fl.ckpt("sup", supportOf(e))
         val next = sup.where(F.col("sup") >= k - 2).select("u", "v")
         val committed = fl.ckpt("e", mat.iter(t, next, Map.empty))
         // fixpoint when nothing was dropped this round
-        active = committed.count() < e.count()
+        val cnt = committed.count()
+        active = cnt < prevCnt
+        prevCnt = cnt
         e = committed
         lastSup = sup
         fl.sweep("e", "sup")

@@ -101,7 +101,10 @@ object GraphQueries {
     })
 
   def triangles(spark: SparkSession, dir: String): TriangleResult =
-    triangleCache.getOrElseUpdate((spark, dir), Triangles.run(graph(spark, dir)))
+    triangleCache.getOrElseUpdate((spark, dir),
+      // the shared symmetric frame + degree memo feed the canonical edge
+      // set and the orientation degrees — no second distinct/degree pass
+      Triangles.run(graph(spark, dir), shared = Some(undirected(spark, dir))))
 
   // One undirected-simple edge set + degree frame per (session, dir):
   // g_clustering, g_degdist, g_assortativity and g_adamic_adar all start
@@ -201,6 +204,41 @@ object GraphQueries {
   private def hubDegCap(s: SparkSession): Int =
     s.conf.getOption("spark.graft.aa.hubDegCap").map(_.toInt).getOrElse(0)
 
+  // ONE anchor 2-hop candidate expansion per (session, dir, cap), shared by
+  // g_adamic_adar and g_jaccard: both ran the IDENTICAL anchors ⋈ und ⋈ deg
+  // ⋈ und ⟕anti und join chain and differed only in the final aggregation
+  // (guide §1.2 — don't run the expensive expansion twice). The `dw > 1`
+  // prune is semantics-free for Jaccard too: a w with deg 1 has u as its
+  // only neighbor, so its second hop can only produce v = u, which the
+  // v ≠ u filter drops. Keyed by the hub-degree cap because the cap
+  // reshapes the expansion (RoundSixOpsSpec varies it within one session).
+  private val aaCandCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+  graft.Caches.register(() => aaCandCache.clear())
+
+  /** (u, v, dw): one row per (anchor u, candidate v, common neighbor w)
+    * wedge surviving the existing-edge anti-join; dw = deg(w). */
+  private def aaCandidates(s: SparkSession, d: String): DataFrame = {
+    val cap = hubDegCap(s)
+    aaCandCache.getOrElseUpdate((s, d, cap), {
+      val g = graph(s, d)
+      val (und, deg) = undirected(s, d)
+      val anchors = aaAnchors(g)
+      val hop1 = anchors
+        .join(und.select(F.col("src").as("u"), F.col("dst").as("w")), "u")
+        .join(deg.select(F.col("vid").as("w"), F.col("deg").as("dw")), "w")
+        .where(F.col("dw") > 1 &&
+          (if (cap > 0) F.col("dw") <= cap else F.lit(true)))
+      val cand = hop1
+        .join(und.select(F.col("src").as("w"), F.col("dst").as("v")), "w")
+        .where(F.col("v") =!= F.col("u"))
+        .join(und.select(F.col("src").as("u"), F.col("dst").as("v")),
+          Seq("u", "v"), "left_anti")
+        .select("u", "v", "dw")
+      org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(cand)
+    })
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_edges" -> ((s, d) =>
       graph(s, d).edges.orderBy("src", "dst", "kind")),
@@ -240,7 +278,8 @@ object GraphQueries {
         .select(F.col("vid"), F.round(F.col("rank"), 7).as("rank")).orderBy("vid")),
 
     "g_kcore" -> ((s, d) =>
-      KCore.membership(graph(s, d), KCoreK, KCoreRounds).orderBy("vid")),
+      KCore.membership(graph(s, d), KCoreK, KCoreRounds,
+        sharedSym = Some(undirected(s, d)._1)).orderBy("vid")),
 
     "g_scc" -> ((s, d) => {
       val r = Scc.run(graph(s, d))
@@ -439,21 +478,8 @@ object GraphQueries {
     // integer counts, ONE division at the end, so the Spark and DuckDB
     // paths are bit-identical by construction (no float sums at all).
     "g_jaccard" -> ((s, d) => {
-      val g = graph(s, d)
-      val (und, deg) = undirected(s, d)
-      val anchors = aaAnchors(g)
-      val cap = hubDegCap(s)
-      val hop1base = anchors
-        .join(und.select(F.col("src").as("u"), F.col("dst").as("w")), "u")
-      val hop1 = if (cap > 0)
-        hop1base.join(deg.select(F.col("vid").as("w"), F.col("deg").as("dw")), "w")
-          .where(F.col("dw") <= cap).drop("dw")
-      else hop1base
-      val cand = hop1
-        .join(und.select(F.col("src").as("w"), F.col("dst").as("v")), "w")
-        .where(F.col("v") =!= F.col("u"))
-        .join(und.select(F.col("src").as("u"), F.col("dst").as("v")),
-          Seq("u", "v"), "left_anti")
+      val (_, deg) = undirected(s, d)
+      val cand = aaCandidates(s, d) // shared expansion with g_adamic_adar
         .groupBy("u", "v").agg(F.count(F.lit(1)).as("cn"))
         .join(deg.select(F.col("vid").as("u"), F.col("deg").as("du")), "u")
         .join(deg.select(F.col("vid").as("v"), F.col("deg").as("dv")), "v")
@@ -510,20 +536,7 @@ object GraphQueries {
     // Ranked on the ROUNDED score (d_tfidf discipline) so float paths
     // agree.
     "g_adamic_adar" -> ((s, d) => {
-      val g = graph(s, d)
-      val (und, deg) = undirected(s, d)
-      val anchors = aaAnchors(g)
-      val cap = hubDegCap(s)
-      val hop1 = anchors
-        .join(und.select(F.col("src").as("u"), F.col("dst").as("w")), "u")
-        .join(deg.select(F.col("vid").as("w"), F.col("deg").as("dw")), "w")
-        .where(F.col("dw") > 1 &&
-          (if (cap > 0) F.col("dw") <= cap else F.lit(true)))
-      val cand = hop1
-        .join(und.select(F.col("src").as("w"), F.col("dst").as("v")), "w")
-        .where(F.col("v") =!= F.col("u"))
-        .join(und.select(F.col("src").as("u"), F.col("dst").as("v")),
-          Seq("u", "v"), "left_anti")
+      val cand = aaCandidates(s, d) // shared expansion with g_jaccard
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).as("cn"),
           F.round(F.sum(F.lit(1.0) / F.log(F.col("dw"))), 6).as("score"))

@@ -46,6 +46,7 @@ class RoundSixOpsSpec extends SparkSpec {
                         fp: Option[String]): DataFrame =
       inner.shared(name, df, keys, fp)
     override def resume(): Option[(Int, DataFrame)] = inner.resume()
+    override def resumeSlices(): Seq[(Int, DataFrame)] = inner.resumeSlices()
     override def note(i: Int, meta: Map[String, Any]): Unit = inner.note(i, meta)
     override def log: Seq[Map[String, Any]] = inner.log
     override def close(): Unit = inner.close()
