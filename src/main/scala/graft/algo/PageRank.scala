@@ -172,11 +172,22 @@ object PageRank {
         df.agg(F.coalesce(F.sum(F.when(!F.col("has_out"), F.col("rank")).otherwise(0.0)), F.lit(0.0)))
           .first().getDouble(0)
 
+      // Fixed-iteration (oracle) runs need no per-round convergence test on
+      // the driver, so the dangling mass rides as an IN-PLAN broadcast
+      // aggregate over the previous committed frame instead of a separate
+      // driver action per round — one action per round, not two (guide
+      // §1.2/§5: the driver should do almost no data work). The aggregation
+      // is the identical Spark agg over the identical flat frame, so the
+      // double it injects is bit-identical to the driver-computed one.
+      // Tolerance-mode runs keep the driver path: linf gates the loop.
+      val inPlanDangling = cfg.fixedIters.isDefined
+
       // Resume (BASELINE.json:6 "resumable mid-iteration"), warm start
       // from a prior run's ranks, or cold start at 1/N.
-      val (startIter, st0, dang0) = mat.resume() match {
+      val (startIter, full0, dang0) = mat.resume() match {
         case Some((k, df)) =>
-          (k, df.select("vid", "rank"), danglingOf(df))
+          (k, df.select("vid", "rank", "prev", "has_out"),
+            if (inPlanDangling) 0.0 else danglingOf(df))
         case None =>
           // Cold-start vector: uniform 1/N globally, or the teleport vector
           // itself when personalized (unit mass over the seed set).
@@ -197,9 +208,11 @@ object PageRank {
                 F.lit(0.0).as("prev"), F.col("has_out"))
           }
           val committed = mat.iter(0, init, Map("init" -> true))
-          (0, committed.select("vid", "rank"), danglingOf(committed))
+          (0, committed.select("vid", "rank", "prev", "has_out"),
+            if (inPlanDangling) 0.0 else danglingOf(committed))
       }
-      var state = st0
+      var full = full0 // the committed frame incl. prev/has_out
+      def state = full.select("vid", "rank")
       var dangling = dang0
 
       def messages(state: DataFrame): DataFrame = {
@@ -222,8 +235,12 @@ object PageRank {
           .withColumnRenamed("dst", "vid")
       }
 
+      val danglingExpr = F.coalesce(
+        F.sum(F.when(!F.col("has_out"), F.col("rank")).otherwise(0.0)), F.lit(0.0))
+
       var iter = startIter
       var converged = false
+      var lastWallMs = 0L
       while (iter < maxIters && !converged) {
         iter += 1
         val t0 = System.nanoTime()
@@ -232,8 +249,12 @@ object PageRank {
         // NOT a literal: inlining a changing constant would make every
         // iteration's generated code unique and force a Janino recompile
         // per round. With a stable plan source, codegen compiles once for
-        // the whole loop.
-        val consts = graph.spark.createDataFrame(Seq(Tuple1(dangling))).toDF("dang_mass")
+        // the whole loop. Fixed-iteration runs derive the row IN-PLAN from
+        // the previous committed frame (no driver action); tolerance runs
+        // reuse the driver-computed value from the convergence agg.
+        val consts =
+          if (inPlanDangling) full.agg(danglingExpr.as("dang_mass"))
+          else graph.spark.createDataFrame(Seq(Tuple1(dangling))).toDF("dang_mass")
         // Base-term: global runs keep the ORIGINAL expression tree (so
         // uniform-PageRank results stay bit-identical run-to-run); the
         // personalized branch substitutes tele(v) for 1/N in both the
@@ -256,20 +277,41 @@ object PageRank {
             F.col("prev"),
             F.col("has_out"))
         val committed = mat.iter(iter, next, Map.empty)
-        // One cheap agg over committed blocks: convergence + next dangling.
-        val row = committed.agg(
+        if (inPlanDangling) {
+          // no driver agg: the next round's dangling subquery reads the
+          // committed blocks; note the round's wall only
+          lastWallMs = (System.nanoTime() - t0) / 1000000L
+          mat.note(iter, Map("wall_ms" -> lastWallMs))
+        } else {
+          // One cheap agg over committed blocks: convergence + next dangling.
+          val row = committed.agg(
+            F.max(F.abs(F.col("rank") - F.col("prev"))).as("linf"),
+            F.sum(F.abs(F.col("rank") - F.col("prev"))).as("l1"),
+            F.sum(F.when(!F.col("has_out"), F.col("rank")).otherwise(0.0)).as("dang"),
+            F.sum("rank").as("total")).first()
+          val linf = row.getDouble(0)
+          dangling = row.getDouble(2)
+          mat.note(iter, Map(
+            "linf" -> linf, "l1" -> row.getDouble(1),
+            "dangling_mass" -> dangling, "rank_total" -> row.getDouble(3),
+            "wall_ms" -> (System.nanoTime() - t0) / 1000000L))
+          converged = linf < cfg.tol
+        }
+        full = committed
+      }
+      // Fixed-iteration runs report the final state's convergence metrics
+      // with ONE agg after the loop (the per-round ledger carries wall_ms;
+      // the ledger's LAST entry keeps the full stats contract).
+      if (inPlanDangling && iter > startIter) {
+        val row = full.agg(
           F.max(F.abs(F.col("rank") - F.col("prev"))).as("linf"),
           F.sum(F.abs(F.col("rank") - F.col("prev"))).as("l1"),
-          F.sum(F.when(!F.col("has_out"), F.col("rank")).otherwise(0.0)).as("dang"),
+          danglingExpr.as("dang"),
           F.sum("rank").as("total")).first()
-        val linf = row.getDouble(0)
-        dangling = row.getDouble(2)
         mat.note(iter, Map(
-          "linf" -> linf, "l1" -> row.getDouble(1),
-          "dangling_mass" -> dangling, "rank_total" -> row.getDouble(3),
-          "wall_ms" -> (System.nanoTime() - t0) / 1000000L))
-        state = committed.select("vid", "rank")
-        converged = cfg.fixedIters.isEmpty && linf < cfg.tol
+          "linf" -> row.getDouble(0), "l1" -> row.getDouble(1),
+          "dangling_mass" -> row.getDouble(2), "rank_total" -> row.getDouble(3),
+          "wall_ms" -> lastWallMs))
       }
       val out = PageRankResult(state, iter, converged, mat.log)
       mat.close()

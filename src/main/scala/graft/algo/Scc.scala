@@ -110,11 +110,18 @@ object Scc {
         var trimming = true
         var trimmed = false
         while (trimming && remaining > 0) {
-          val hasOut = edges.select(F.col("src").as("vid")).distinct()
-          val hasIn = edges.select(F.col("dst").as("vid")).distinct()
-          val core = fl.ckpt("verts", verts
-            .join(hasOut, Seq("vid"), "left_semi")
-            .join(hasIn, Seq("vid"), "left_semi"))
+          // survivors = vertices with ≥1 out-edge AND ≥1 in-edge in the
+          // remaining subgraph. One union + one max-agg shuffle — the
+          // previous shape paid two distincts plus two semi-joins per trim
+          // round for the same set (guide §2.4). Edges are restricted to
+          // verts, so every endpoint is in verts and the agg IS the core.
+          val core = fl.ckpt("verts", edges
+            .select(F.col("src").as("vid"), F.lit(1).as("o"), F.lit(0).as("i"))
+            .unionByName(edges
+              .select(F.col("dst").as("vid"), F.lit(0).as("o"), F.lit(1).as("i")))
+            .groupBy("vid").agg(F.max("o").as("ho"), F.max("i").as("hi"))
+            .where(F.col("ho") === 1 && F.col("hi") === 1)
+            .select("vid"))
           val nCore = core.count()
           if (nCore == remaining) {
             // fixpoint: core is row-identical to verts — rebind before the

@@ -17,14 +17,24 @@ final case class LinkGraph(edges: DataFrame, dict: DataFrame) {
   /** All vertex ids (every dict entry appears in ≥1 edge by construction). */
   def vertices: DataFrame = dict.select("vid")
 
-  /** Distinct directed pairs, ignoring kind/weight. */
-  def directed: DataFrame = edges.select("src", "dst").distinct()
+  /** Distinct directed pairs, ignoring kind/weight — MATERIALIZED once per
+    * graph on first use: ~8 algo/query consumers (HITS, Katz, betweenness,
+    * BFS, SCC, reciprocity, hub landmarks, …) each re-ran this distinct as
+    * a full edge shuffle per pass before round 7 (guide §1.2/§2.4). The
+    * graph instance is memoized per (session, dir) and dropped by
+    * Caches.clear together with its blocks, so the lifetime matches the
+    * other shared frames. */
+  lazy val directed: DataFrame =
+    org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(
+      edges.select("src", "dst").distinct())
 
-  /** Distinct symmetric closure — undirected semantics for CC/LPA. */
-  def symmetrized: DataFrame = {
-    val d = edges.select("src", "dst")
-    d.union(d.select(F.col("dst").as("src"), F.col("src").as("dst"))).distinct()
-  }
+  /** Distinct symmetric closure — undirected semantics for CC/LPA;
+    * materialized once per graph for the same reason as [[directed]]. */
+  lazy val symmetrized: DataFrame =
+    org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint {
+      val d = edges.select("src", "dst")
+      d.union(d.select(F.col("dst").as("src"), F.col("src").as("dst"))).distinct()
+    }
 }
 
 /** Edge derivation from transcript / event tables — SURVEY.md §2.3.

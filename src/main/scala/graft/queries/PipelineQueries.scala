@@ -96,6 +96,20 @@ object PipelineQueries {
   private def shinglesOf(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrElseUpdate((s, d), materialize(s, d, "shingles")(shingles(docs(s, d))))
 
+  // Rep-filtered shingles (one representative per distinct text): consumed
+  // by the LSH candidate build, d_minhash_lsh and d_dedup_clusters — each
+  // re-ran the semi-join (and d_dedup_clusters read it four times inside
+  // one query: sizes, both sides of the verify join, shingledReps) before
+  // round 7. One materialization, many block reads (guide §1.2/§5).
+  private val shingleRepsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def shinglesRepsOf(s: SparkSession, d: String): DataFrame =
+    shingleRepsCache.getOrElseUpdate((s, d), materialize(s, d, "shreps") {
+      val repsOnly = textGroupsOf(s, d)
+        .where(F.col("doc_id") === F.col("rep")).select("doc_id")
+      shinglesOf(s, d).join(repsOnly, Seq("doc_id"), "left_semi")
+    })
+
   // (doc_id, rep): EXACT-DUP GROUPS by text content — the round-4 bucket-
   // occupancy guard (round-3 verdict "What's missing #1"). Every near-dup
   // banding join (minhash-LSH, simhash pigeonhole) operates on ONE
@@ -161,10 +175,7 @@ object PipelineQueries {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def repLshCandidates(s: SparkSession, d: String): DataFrame =
     lshCandCache.getOrElseUpdate((s, d), materialize(s, d, "lshcand") {
-      val groups = textGroupsOf(s, d)
-      val repsOnly = groups.where(F.col("doc_id") === F.col("rep")).select("doc_id")
-      val shReps = shinglesOf(s, d).join(repsOnly, Seq("doc_id"), "left_semi")
-      lshCandidates(shReps)
+      lshCandidates(shinglesRepsOf(s, d))
     })
 
   // ONE (vec_id, v, nrm) norms frame per (session, dir), shared by the LSH
@@ -235,6 +246,7 @@ object PipelineQueries {
 
   graft.Caches.register(() => wordCountCache.clear())
   graft.Caches.register(() => lshCandCache.clear())
+  graft.Caches.register(() => shingleRepsCache.clear())
   graft.Caches.register(() => shingleCache.clear())
   graft.Caches.register(() => textGroupCache.clear())
   graft.Caches.register(() => simhashCache.clear())
@@ -280,7 +292,11 @@ object PipelineQueries {
     val shAll = shinglesOf(s, d)
     val kept = shAll.groupBy("sh").agg(F.count(F.lit(1)).as("df"))
       .where(F.col("df") <= ShingleDfCap).select("sh")
-    val sh = shAll.join(kept, Seq("sh"), "left_semi")
+    // three consumers below (sizes + both self-join sides): materialize the
+    // df-capped set once instead of re-running the cap agg + semi-join per
+    // consumer (guide §5: cache exactly the reused intermediate)
+    val sh = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(
+      shAll.join(kept, Seq("sh"), "left_semi"))
     val sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("sz"))
     val a = sh.select(F.col("doc_id").as("da"), F.col("sh"))
     val b = sh.select(F.col("doc_id").as("db"), F.col("sh"))
@@ -340,8 +356,7 @@ object PipelineQueries {
     * the rep pair's band count. */
   def dMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val groups = textGroupsOf(s, d)
-    val repsOnly = groups.where(F.col("doc_id") === F.col("rep")).select("doc_id")
-    val shReps = shinglesOf(s, d).join(repsOnly, Seq("doc_id"), "left_semi")
+    val shReps = shinglesRepsOf(s, d)
     val repCand = repLshCandidates(s, d) // shared with d_dedup_clusters
       .select(F.col("da").as("ra"), F.col("db").as("rb"), F.col("n_bands"))
     val cross = expandRepPairs(repCand, groups)
@@ -364,8 +379,7 @@ object PipelineQueries {
     // rep through STAR edges — connectivity (and hence min-id labels) is
     // identical to the full pairwise dup graph, at rep-level join cost.
     val groups = textGroupsOf(s, d)
-    val repsOnly = groups.where(F.col("doc_id") === F.col("rep")).select("doc_id")
-    val sh = shinglesOf(s, d).join(repsOnly, Seq("doc_id"), "left_semi")
+    val sh = shinglesRepsOf(s, d)
     val sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).as("sz"))
     val cand = repLshCandidates(s, d).select("da", "db") // shared memo
     // exact verify, bounded by |candidates| x shingles-per-doc
@@ -999,8 +1013,13 @@ object PipelineQueries {
     // so counting tf rows per w IS the document frequency — this replaces
     // a second corpus-wide explode + (doc_id, w) distinct shuffle with one
     // agg over the already-aggregated tf frame (guide §2.3/§2.4: one
-    // corpus token pass instead of two; identical integer counts).
-    val df = tf.groupBy("w").agg(F.count(F.lit(1)).as("df"))
+    // corpus token pass instead of two; identical integer counts). The
+    // always-true `tf >= 1` (count(1) ≥ 1 by construction) blocks column
+    // pruning from rewriting this branch's inner aggregate into a DISTINCT
+    // — with the filter, both branches' shuffle subtrees are canonically
+    // identical and AQE reuses ONE exchange for the whole token pass
+    // (verified in the final adaptive plan: ReusedExchange/stage reuse).
+    val df = tf.where(F.col("tf") >= 1).groupBy("w").agg(F.count(F.lit(1)).as("df"))
     val n = docs(s, d).count().toDouble
     val scored = tf.join(df, "w")
       .select(F.col("doc_id"), F.col("w"), F.col("tf"),
