@@ -57,23 +57,35 @@ object Similarity {
   def dimOf(emb: DataFrame): Int =
     emb.select(F.size(F.col("embedding"))).limit(1).first().getInt(0)
 
-  /** (vec_id, table_id, bucket) LSH bucket assignment. */
+  /** (vec_id, table_id, bucket) LSH bucket assignment — PURE MAP-SIDE
+    * (round 7): the hyperplane weights are plan-time constants, so each
+    * table's bucket is one projection of tables×planes native vector_dot
+    * calls per row followed by a 4-way explode. The previous shape
+    * broadcast-cross-joined the hyperplane table (tables·planes rows per
+    * vector) and re-assembled buckets with a groupBy — a corpus-wide
+    * shuffle of tables·planes·n rows that computed the identical integers
+    * (guide §2.4: remove shuffles outright). Dot products accumulate
+    * index-ascending in both shapes (same native expression, literal
+    * array vs broadcast array), so bucket bits are bit-identical and the
+    * oracle VALUES literal is untouched. */
   def buckets(emb: DataFrame, seed: Int = DefaultSeed, tables: Int = DefaultTables,
               planes: Int = DefaultPlanes): DataFrame = {
     val spark = emb.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val hp = spark.createDataFrame(hyperplanes(seed, tables, planes, dimOf(emb)))
-      .toDF("table_id", "plane_id", "w")
+    val hp = hyperplanes(seed, tables, planes, dimOf(emb))
+      .map { case (t, p, w) => (t, p) -> w }.toMap
+    val tableCols = (0 until tables).map { t =>
+      val bucket = (0 until planes).map { p =>
+        F.shiftleft(
+          (F.call_function("vector_dot", F.col("v"), F.typedlit(hp((t, p)))) > 0)
+            .cast("int"), p)
+      }.reduce(_ + _)
+      F.struct(F.lit(t).as("table_id"), bucket.cast("int").as("bucket"))
+    }
     emb
       .select(F.col("vec_id"), F.col("embedding").as("v"))
-      .crossJoin(F.broadcast(hp))
-      .select(F.col("vec_id"), F.col("table_id"), F.col("plane_id"),
-        (F.expr("vector_dot(v, w)") > 0) // native codegen'd Expression
-          .cast("int").as("bit"))
-      .select(F.col("vec_id"), F.col("table_id"),
-        F.expr("shiftleft(bit, cast(plane_id as int))").as("bitval"))
-      .groupBy("vec_id", "table_id")
-      .agg(F.sum("bitval").cast("int").as("bucket"))
+      .select(F.col("vec_id"), F.explode(F.array(tableCols: _*)).as("e"))
+      .select(F.col("vec_id"), F.col("e.table_id"), F.col("e.bucket"))
   }
 
   /** The reusable part of the LSH machinery: bucket assignment + norms,

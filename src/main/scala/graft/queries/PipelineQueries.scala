@@ -266,11 +266,17 @@ object PipelineQueries {
   // ---------------------------------------------------------------- dedup
 
   def dExactDedup(s: SparkSession, d: String): DataFrame = {
+    // canonical_id IS the text-group rep (min doc_id per identical text) —
+    // read the shared memo instead of re-running the md5 group + join the
+    // other dedup queries already paid for (guide §1.2). text_md5 is
+    // recomputed in the final projection so the output keeps the exact
+    // md5(text) contract (NULL for null text, unlike the memo's null-safe
+    // group key).
     val dd = docs(s, d).select(F.col("doc_id"), F.md5(F.col("text")).as("text_md5"))
-    val canon = dd.groupBy("text_md5").agg(F.min("doc_id").as("canonical_id"))
-    dd.join(canon, "text_md5")
-      .select(F.col("doc_id"), F.col("text_md5"), F.col("canonical_id"),
-        (F.col("doc_id") =!= F.col("canonical_id")).as("is_dup"))
+    dd.join(textGroupsOf(s, d), "doc_id")
+      .select(F.col("doc_id"), F.col("text_md5"),
+        F.col("rep").as("canonical_id"),
+        (F.col("doc_id") =!= F.col("rep")).as("is_dup"))
       .orderBy("doc_id")
   }
 
@@ -407,13 +413,26 @@ object PipelineQueries {
     // (guide §1.2/§5: cache exactly the reused intermediate).
     val dupEdges = org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(
       verified.unionByName(intraEdges))
+    // The CC fixpoint runs over the EDGE ENDPOINTS only — docs in no dup
+    // edge are their own singleton cluster by definition, so hauling the
+    // whole corpus's vertex set through every HashMin round (the previous
+    // shape) multiplied the loop state by corpus/|dup docs| for labels the
+    // final left join fills with coalesce anyway (guide §1.2: don't
+    // compute things you throw away). Labels are identical: a vertex
+    // outside every edge keeps label = vid in HashMin too.
+    val endpoints = dupEdges.select(F.col("da").as("key"))
+      .unionByName(dupEdges.select(F.col("db").as("key"))).distinct()
+      .select(F.col("key").cast("string").as("key"), F.col("key").as("vid"))
     val dupGraph = graft.graph.LinkGraph(
       edges = dupEdges.select(F.col("da").as("src"), F.col("db").as("dst"),
         F.lit(1).as("kind"), F.lit(1.0).as("weight")),
-      dict = dd.select(F.col("doc_id").cast("string").as("key"), F.col("doc_id").as("vid")))
-    graft.algo.ConnectedComponents.run(dupGraph).labels
-      .select(F.col("vid").as("doc_id"), F.col("label").as("cluster_id"),
-        (F.col("vid") === F.col("label")).as("is_canonical"))
+      dict = endpoints)
+    dd.select("doc_id")
+      .join(graft.algo.ConnectedComponents.run(dupGraph).labels
+        .withColumnRenamed("vid", "doc_id"), Seq("doc_id"), "left")
+      .select(F.col("doc_id"),
+        F.coalesce(F.col("label"), F.col("doc_id")).as("cluster_id"),
+        (F.coalesce(F.col("label"), F.col("doc_id")) === F.col("doc_id")).as("is_canonical"))
       .orderBy("doc_id")
   }
 
