@@ -135,8 +135,17 @@ object GraphQueries {
   graft.Caches.register(() => nhoodCache.clear())
 
   def nhood(spark: SparkSession, dir: String): Neighborhood.NhoodResult =
-    nhoodCache.getOrElseUpdate((spark, dir),
-      Neighborhood.exact(graph(spark, dir), NhoodT))
+    nhoodCache.getOrElseUpdate((spark, dir), {
+      val r = Neighborhood.exact(graph(spark, dir), NhoodT)
+      // one origin-clustered materialization of the level-slice union at
+      // memo-build time: g_ecc/g_closeness group by o and would otherwise
+      // each re-shuffle the union (the per-ROUND o-repartitions this frame
+      // used to pay are gone since round 7; this single one is amortized
+      // over the five reach consumers)
+      r.copy(reach = r.reach.map(df =>
+        org.apache.spark.sql.graft.FlatCheckpoint.localCheckpoint(
+          df.repartition(F.col("o")))))
+    })
 
   // One label build per (session, dir): g_hub_labels and g_hub_distq share
   // the two BFS runs (checkpoint-backed reach frames, same safety argument).
