@@ -210,8 +210,17 @@ object GraphQueries {
     * scores/counts are a lower bound of the uncapped ones (pinned in
     * RoundSixOpsSpec). At web scale this bounds per-anchor fan-out by
     * cap² instead of the heaviest hub's degree. */
-  private def hubDegCap(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.aa.hubDegCap").map(_.toInt).getOrElse(0)
+  private def hubDegCap(s: SparkSession): Int = {
+    val cap = s.conf.getOption("spark.graft.aa.hubDegCap").map(_.toInt).getOrElse(0)
+    // Round-6 ADVICE: the cap reshapes g_adamic_adar/g_jaccard results but
+    // the DuckDB oracle SQL is uncapped — warn loudly so a capped session
+    // failing the hash gate is traceable to this knob, not to logic.
+    if (cap > 0) Console.err.println(
+      s"[graft] spark.graft.aa.hubDegCap=$cap is set: g_adamic_adar/g_jaccard " +
+        "results are the documented capped approximation and will NOT match " +
+        "the (uncapped) DuckDB oracle SQL")
+    cap
+  }
 
   // ONE anchor 2-hop candidate expansion per (session, dir, cap), shared by
   // g_adamic_adar and g_jaccard: both ran the IDENTICAL anchors ⋈ und ⋈ deg
